@@ -1,0 +1,6 @@
+from learningagileflight_se3_tpu.solver.ilqr import (
+    MPCSolution,
+    make_mpc_solver,
+    make_batched_mpc_solver,
+)
+from learningagileflight_se3_tpu.solver.boxqp import boxqp

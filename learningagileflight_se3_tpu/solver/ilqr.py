@@ -1,0 +1,374 @@
+"""Batched control-limited iLQR for the gate-traversal MPC.
+
+TPU-native replacement for the reference's CasADi/IPOPT pipeline
+(quad_OC.py:104-212): where the reference builds a fresh 863-variable lifted
+NLP per call and hands it to a C++ interior-point solver, we solve the
+equivalent *shooting* problem
+
+    min_U  sum_k C_k(x_k, u_k, u_{k-1}) + phi(x_H)
+    s.t.   x_{k+1} = x_k + dt f(x_k, u_k),   0 <= u <= u_ub
+
+with iLQR: the 650 dynamics equality constraints are eliminated exactly by the
+rollout, the control-rate coupling |u_k - u_{k-1}|^2 (quad_OC.py:150) is
+handled by augmenting the state with the previous control
+(z = [x(13); u_prev(4)] in R^17), and the rotor-thrust box constraint is
+handled by a projected-Newton boxQP in the backward pass.
+
+Design notes (why this maps well onto TPU):
+  * Fixed shapes everywhere: horizon, iteration counts, and line-search grids
+    are static, so the whole solve is one XLA computation; `lax.scan` for the
+    time sweeps, `lax.while_loop` with a per-problem `done` mask for the outer
+    iterations (vmap-safe early exit).
+  * The solve vmaps over a scenario axis — thousands of independent MPC
+    problems become batched (17x17)/(4x17) matrix ops, which XLA lays out as
+    batch-parallel VPU/MXU work. The reference parallelizes the same loop with
+    10 forked CPU processes (deep_learning.py:66-72).
+  * All derivatives (A_k, B_k, stage-cost quadratics) come from jax.jacfwd /
+    jax.hessian of the analytic dynamics/costs — replacing CasADi's symbolic
+    AD (quad_OC.py:191-194).
+
+Reference-matching details:
+  * identical forward-Euler discretization without quaternion renormalization;
+  * identical initialization U0 = midpoint of control bounds (quad_OC.py:142);
+  * traversal time enters only through the Gaussian stage weight
+    60*exp(-10*(dt*k - t)^2) and is optionally rounded to 0.1 s
+    (quad_policy.py:70) under SolverConfig.quantize_t;
+  * the omega bound (+-pi/2, quad_policy.py:50) is available as a soft
+    quadratic penalty (w_bound_weight) — see SURVEY.md section 7 hard-parts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from learningagileflight_se3_tpu.config import CostWeights, QuadParams, SolverConfig
+from learningagileflight_se3_tpu.core.rotations import rodrigues_to_quat
+from learningagileflight_se3_tpu.costs.gate_costs import (
+    final_cost,
+    goal_cost,
+    thrust_cost,
+    traversal_cost,
+)
+from learningagileflight_se3_tpu.dynamics.quadrotor import euler_step
+from learningagileflight_se3_tpu.solver.boxqp import boxqp
+
+NX = 13  # physical state
+NU = 4   # rotor thrusts
+NZ = NX + NU  # augmented state [x; u_prev]
+
+
+class MPCSolution(NamedTuple):
+    """Mirror of the reference's opt_sol dict (quad_OC.py:204-210)."""
+
+    state_traj: jnp.ndarray    # (H+1, 13)
+    control_traj: jnp.ndarray  # (H, 4)
+    cost: jnp.ndarray          # scalar
+    iterations: jnp.ndarray    # scalar int
+    converged: jnp.ndarray     # scalar bool
+    gains_K: jnp.ndarray       # (H, 4, 17) feedback gains (bonus over reference)
+    grad_norm: jnp.ndarray     # max projected |Q_u| (KKT residual proxy)
+    reg_final: jnp.ndarray     # final LM regularization
+
+
+class _Problem(NamedTuple):
+    """Per-scenario problem data (everything the cost depends on)."""
+
+    z0: jnp.ndarray        # (17,) initial augmented state [x0; u_last]
+    goal_pos: jnp.ndarray  # (3,)
+    tra_pos: jnp.ndarray   # (3,)
+    tra_quat: jnp.ndarray  # (4,)
+    t_weights: jnp.ndarray # (H,) Gaussian stage weights
+
+
+def _aug_dynamics(z, u, dt, params: QuadParams):
+    x = z[:NX]
+    return jnp.concatenate([euler_step(x, u, dt, params), u])
+
+
+def _stage_cost(z, u, wk, prob: _Problem, weights: CostWeights, cfg: SolverConfig):
+    x = z[:NX]
+    u_prev = z[NX:]
+    c = (
+        wk * traversal_cost(x, prob.tra_pos, prob.tra_quat, weights)
+        + goal_cost(x, prob.goal_pos, weights)
+        + thrust_cost(u, weights)
+        + weights.w_du * jnp.sum((u - u_prev) ** 2)
+    )
+    if cfg.w_bound_weight > 0.0:
+        om = x[10:13]
+        viol = jnp.maximum(jnp.abs(om) - cfg.w_bound, 0.0)
+        c = c + cfg.w_bound_weight * jnp.sum(viol**2)
+    return c
+
+
+def _final_cost(z, prob: _Problem, weights: CostWeights):
+    return final_cost(z[:NX], prob.goal_pos, weights)
+
+
+def make_mpc_solver(
+    params: QuadParams,
+    weights: CostWeights,
+    cfg: SolverConfig,
+    return_gains: bool = True,
+):
+    """Build a jittable single-problem solver.
+
+    Returned callable:
+        solve(x0, u_last, goal_pos, tra_pos, tra_ang, t, U_init=None) -> MPCSolution
+
+    tra_ang is the Rodrigues 3-vector (Rd2Rp semantics, quad_policy.py:10-13);
+    t the traversal time in seconds.
+    """
+    H = cfg.horizon
+    dt = cfg.dt
+    lb = cfg.u_lb
+    ub = cfg.u_ub
+    alphas = 0.5 ** jnp.arange(cfg.line_search_steps)
+
+    def rollout_cost(z0, U, prob):
+        """Nonlinear rollout + total cost (the exact IPOPT objective)."""
+
+        def body(carry, inp):
+            z, c = carry
+            u, wk = inp
+            c = c + _stage_cost(z, u, wk, prob, weights, cfg)
+            zn = _aug_dynamics(z, u, dt, params)
+            return (zn, c), zn
+
+        (zH, c), Z = jax.lax.scan(body, (z0, 0.0), (U, prob.t_weights))
+        c = c + _final_cost(zH, prob, weights)
+        Z = jnp.concatenate([z0[None], Z], axis=0)
+        return Z, c
+
+    def derivatives(Z, U, prob):
+        """Per-step linearizations and cost quadratics, vmapped over time."""
+
+        def one(z, u, wk):
+            zu = jnp.concatenate([z, u])
+
+            def fdyn(zu_):
+                return _aug_dynamics(zu_[:NZ], zu_[NZ:], dt, params)
+
+            def fcost(zu_):
+                return _stage_cost(zu_[:NZ], zu_[NZ:], wk, prob, weights, cfg)
+
+            F = jax.jacfwd(fdyn)(zu)          # (17, 21)
+            grad = jax.grad(fcost)(zu)        # (21,)
+            Hc = jax.hessian(fcost)(zu)       # (21, 21)
+            return (
+                F[:, :NZ], F[:, NZ:],         # A, B
+                grad[:NZ], grad[NZ:],         # lz, lu
+                Hc[:NZ, :NZ], Hc[NZ:, :NZ], Hc[NZ:, NZ:],  # lzz, luz, luu
+            )
+
+        A, B, lz, lu, lzz, luz, luu = jax.vmap(one)(Z[:-1], U, prob.t_weights)
+        zH = Z[-1]
+        phi_z = jax.grad(lambda z: _final_cost(z, prob, weights))(zH)
+        phi_zz = jax.hessian(lambda z: _final_cost(z, prob, weights))(zH)
+        return A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz
+
+    def backward(Z, derivs, U, reg):
+        """Regularized control-limited Riccati sweep (reverse lax.scan).
+
+        With cfg.use_ddp (default) the sweep includes the second-order
+        dynamics terms Vz . f_zz — full DDP / the exact Hessian of the PDP
+        Hamiltonian (the machinery sketched at reference quad_OC.py:240-252) —
+        which restores quadratic local convergence on this stiffly-weighted
+        attitude cost where plain iLQR (Gauss-Newton) crawls."""
+        A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz = derivs
+        I = jnp.eye(NZ, dtype=phi_zz.dtype)
+
+        def step(carry, inp):
+            Vz, Vzz, dV1, dV2, fail = carry
+            a, b, lz_k, lu_k, lzz_k, luz_k, luu_k, u_k, z_k = inp
+
+            Qz = lz_k + a.T @ Vz
+            Qu = lu_k + b.T @ Vz
+            Qzz = lzz_k + a.T @ Vzz @ a
+            Quz = luz_k + b.T @ Vzz @ a
+            Quu = luu_k + b.T @ Vzz @ b
+
+            if cfg.use_ddp:
+                zu_k = jnp.concatenate([z_k, u_k])
+
+                def vdotf(zu_):
+                    return Vz @ _aug_dynamics(zu_[:NZ], zu_[NZ:], dt, params)
+
+                H2 = jax.hessian(vdotf)(zu_k)  # (21, 21)
+                Qzz = Qzz + H2[:NZ, :NZ]
+                Quz = Quz + H2[NZ:, :NZ]
+                Quu = Quu + H2[NZ:, NZ:]
+            # state-regularized variants (Tassa 2012): add reg through B^T B
+            Quu_r = Quu + reg * (b.T @ b)
+            Quz_r = Quz + reg * (b.T @ a)
+            Quu_r = 0.5 * (Quu_r + Quu_r.T)
+
+            lo = lb - u_k
+            hi = ub - u_k
+            k_ff, free = boxqp(Quu_r, Qu, lo, hi, iters=cfg.boxqp_iters)
+            # feedback only on free dims: solve masked system, zero clamped rows
+            Fm = free[:, None] * free[None, :]
+            M = Quu_r * Fm + jnp.diag(1.0 - free)
+            K = -jnp.linalg.solve(M, Quz_r * free[:, None]) * free[:, None]
+
+            # chol-failure guard: Quu_r must be PD on the free subspace
+            eigs_ok = jnp.linalg.eigvalsh(M).min() > 0
+            fail = fail | ~eigs_ok
+
+            Vz_n = (
+                Qz
+                + K.T @ (Quu @ k_ff)
+                + K.T @ Qu
+                + Quz.T @ k_ff
+            )
+            Vzz_n = Qzz + K.T @ Quu @ K + K.T @ Quz + Quz.T @ K
+            Vzz_n = 0.5 * (Vzz_n + Vzz_n.T)
+            dV1 = dV1 + k_ff @ Qu
+            dV2 = dV2 + 0.5 * k_ff @ (Quu @ k_ff)
+            # projected KKT residual: |Qu| on dims not clamped at a bound
+            pg = jnp.max(jnp.abs(Qu) * free)
+            return (Vz_n, Vzz_n, dV1, dV2, fail), (k_ff, K, pg)
+
+        init = (phi_z, phi_zz, jnp.zeros((), phi_z.dtype), jnp.zeros((), phi_z.dtype), jnp.zeros((), bool))
+        (Vz, Vzz, dV1, dV2, fail), (kk, KK, pgs) = jax.lax.scan(
+            step, init, (A, B, lz, lu, lzz, luz, luu, U, Z[:-1]), reverse=True
+        )
+        return kk, KK, dV1, dV2, fail, jnp.max(pgs)
+
+    def forward(Z, U, kk, KK, prob, alpha):
+        """Closed-loop rollout with clipped controls."""
+        z0 = Z[0]
+
+        def body(carry, inp):
+            z, c = carry
+            z_ref, u_ref, k_ff, K, wk = inp
+            u = u_ref + alpha * k_ff + K @ (z - z_ref)
+            u = jnp.clip(u, lb, ub)
+            c = c + _stage_cost(z, u, wk, prob, weights, cfg)
+            zn = _aug_dynamics(z, u, dt, params)
+            return (zn, c), (zn, u)
+
+        (zH, c), (Zn, Un) = jax.lax.scan(
+            body, (z0, 0.0), (Z[:-1], U, kk, KK, prob.t_weights)
+        )
+        c = c + _final_cost(zH, prob, weights)
+        Zn = jnp.concatenate([z0[None], Zn], axis=0)
+        return Zn, Un, c
+
+    def solve(x0, u_last, goal_pos, tra_pos, tra_ang, t, U_init: Optional[jnp.ndarray] = None):
+        dtype = jnp.result_type(x0.dtype, jnp.float32)
+        x0 = x0.astype(dtype)
+        u_last = jnp.asarray(u_last, dtype)
+        if cfg.quantize_t:
+            t = jnp.round(t * 10.0) / 10.0
+        tra_quat = rodrigues_to_quat(jnp.asarray(tra_ang, dtype))
+        ks = jnp.arange(H, dtype=dtype)
+        t_weights = weights.tra_amp * jnp.exp(-weights.tra_decay * (dt * ks - t) ** 2)
+        prob = _Problem(
+            z0=jnp.concatenate([x0, u_last]),
+            goal_pos=jnp.asarray(goal_pos, dtype),
+            tra_pos=jnp.asarray(tra_pos, dtype),
+            tra_quat=tra_quat,
+            t_weights=t_weights,
+        )
+
+        if U_init is None:
+            # IPOPT's w0 control initialization: midpoint of bounds (quad_OC.py:142)
+            U0 = jnp.full((H, NU), 0.5 * (lb + ub), dtype)
+        else:
+            U0 = U_init.astype(dtype)
+
+        Z, J0 = rollout_cost(prob.z0, U0, prob)
+        KK0 = jnp.zeros((H, NU, NZ), dtype)
+
+        def cond(state):
+            Z, U, J, KK, reg, done, it, pg = state
+            return (~done) & (it < cfg.max_iters)
+
+        def body(state):
+            Z, U, J, KK, reg, done, it, _ = state
+            derivs = derivatives(Z, U, prob)
+            kk, KK_new, dV1, dV2, fail, pg = backward(Z, derivs, U, reg)
+
+            # Newton-decrement termination: the model predicts at most
+            # -(dV1 + dV2) decrease at a full step — when that is below
+            # tolerance the iterate is (numerically) optimal.
+            decrement = -(dV1 + dV2)
+            stationary = (decrement <= cfg.tol * (jnp.abs(J) + 1.0)) & (dV1 <= 0)
+
+            def try_alpha(alpha):
+                Zn, Un, Jn = forward(Z, U, kk, KK_new, prob, alpha)
+                return Zn, Un, Jn
+
+            Zs, Us, Js = jax.vmap(try_alpha)(alphas)
+            # Armijo-style acceptance: actual/expected decrease ratio > c
+            expected = -(alphas * dV1 + alphas**2 * dV2)
+            ratios = (J - Js) / jnp.maximum(expected, 1e-300)
+            ok = (ratios > 0.1) & (Js < J) & (expected > 0)
+            # pick the largest acceptable alpha; fall back to best raw decrease
+            any_ok = jnp.any(ok)
+            first_ok = jnp.argmax(ok)  # alphas are ordered large -> small
+            best = jnp.where(any_ok, first_ok, jnp.argmin(Js))
+            J_best = Js[best]
+            improved = ((J_best < J) & any_ok) & ~fail & ~stationary
+
+            Z_n = jnp.where(improved, Zs[best], Z)
+            U_n = jnp.where(improved, Us[best], U)
+            KK_n = jnp.where(improved | stationary, KK_new, KK)
+            J_n = jnp.where(improved, J_best, J)
+
+            reg_n = jnp.where(
+                improved,
+                jnp.maximum(reg * 0.5, cfg.reg_min),
+                jnp.minimum(reg * 8.0, cfg.reg_max * 2.0),
+            )
+            done_n = stationary | (~improved & ~stationary & (reg > cfg.reg_max))
+            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it + 1, pg)
+
+        reg0 = jnp.asarray(cfg.reg_init, dtype)
+        pg0 = jnp.asarray(jnp.inf, dtype)
+        state0 = (Z, U0, J0, KK0, reg0, jnp.zeros((), bool), jnp.zeros((), jnp.int32), pg0)
+        Zf, Uf, Jf, KKf, regf, donef, itf, pgf = jax.lax.while_loop(cond, body, state0)
+
+        sol = MPCSolution(
+            state_traj=Zf[:, :NX],
+            control_traj=Uf,
+            cost=Jf,
+            iterations=itf,
+            converged=donef,
+            gains_K=KKf if return_gains else jnp.zeros((0,), dtype),
+            grad_norm=pgf,
+            reg_final=regf,
+        )
+        return sol
+
+    return solve
+
+
+def make_batched_mpc_solver(
+    params: QuadParams,
+    weights: CostWeights,
+    cfg: SolverConfig,
+    return_gains: bool = False,
+):
+    """vmap the solver over a leading scenario axis.
+
+    solve_batch(x0[B,13], u_last[B,4], goal[B,3], tra_pos[B,3], tra_ang[B,3],
+                t[B], U_init=None|[B,H,4]) -> MPCSolution with leading B axis.
+
+    This is the TPU equivalent of the reference's 10-process IPOPT fan-out
+    (deep_learning.py:66-72): one XLA computation, batch-parallel.
+    """
+    solve = make_mpc_solver(params, weights, cfg, return_gains=return_gains)
+
+    def solve_some(x0, u_last, goal, tra_pos, tra_ang, t, U_init=None):
+        if U_init is None:
+            return jax.vmap(lambda a, b, c, d, e, f: solve(a, b, c, d, e, f))(
+                x0, u_last, goal, tra_pos, tra_ang, t
+            )
+        return jax.vmap(solve)(x0, u_last, goal, tra_pos, tra_ang, t, U_init)
+
+    return solve_some

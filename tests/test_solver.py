@@ -1,0 +1,183 @@
+"""Oracle tests for the batched iLQR/DDP MPC solver (SURVEY.md section 4
+anchor 1): control sequences must agree with an independent CPU f64 solver on
+the same shooting problem (the CasADi/IPOPT stand-in, BASELINE.md)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from learningagileflight_se3_tpu.config import CostWeights, QuadParams, SolverConfig
+from learningagileflight_se3_tpu.core.rotations import axis_angle_to_quat, rodrigues_to_quat
+from learningagileflight_se3_tpu.costs.gate_costs import total_trajectory_cost
+from learningagileflight_se3_tpu.dynamics.quadrotor import rollout
+from learningagileflight_se3_tpu.oracle.shooting import solve_shooting_oracle
+from learningagileflight_se3_tpu.solver.boxqp import boxqp
+from learningagileflight_se3_tpu.solver.ilqr import make_batched_mpc_solver, make_mpc_solver
+
+PARAMS = QuadParams()
+WEIGHTS = CostWeights()
+
+
+def canonical_scenario():
+    """run_quad defaults (quad_policy.py:16-17): start (0,-8,0), goal (0,8,0),
+    gate at origin pitched ~0.6 rad, traversal time 3 s."""
+    x0 = np.zeros(13)
+    x0[0:3] = [0.0, -8.0, 0.0]
+    x0[6:10] = np.asarray(axis_angle_to_quat(jnp.asarray(0.0), jnp.asarray([3.0, 3.0, 5.0])))
+    return (
+        x0,
+        np.zeros(4),
+        np.array([0.0, 8.0, 0.0]),
+        np.array([0.0, 0.0, 0.0]),
+        np.array([0.0, 0.6, 0.0]),
+        3.0,
+    )
+
+
+class TestBoxQP:
+    def test_unconstrained_matches_solve(self, rng):
+        A = rng.normal(size=(4, 4))
+        H = A @ A.T + 4 * np.eye(4)
+        g = rng.normal(size=4)
+        d, free = boxqp(jnp.asarray(H), jnp.asarray(g), -1e3 * jnp.ones(4), 1e3 * jnp.ones(4))
+        np.testing.assert_allclose(np.asarray(d), -np.linalg.solve(H, g), atol=1e-8)
+        assert np.all(np.asarray(free) == 1.0)
+
+    def test_active_bounds(self):
+        H = jnp.eye(4)
+        g = jnp.asarray([-10.0, 10.0, 0.5, -0.5])
+        lo, hi = -jnp.ones(4), jnp.ones(4)
+        d, free = boxqp(H, g, lo, hi)
+        np.testing.assert_allclose(np.asarray(d), [1.0, -1.0, -0.5, 0.5], atol=1e-8)
+        np.testing.assert_allclose(np.asarray(free), [0.0, 0.0, 1.0, 1.0])
+
+    def test_kkt_random(self, rng):
+        for _ in range(10):
+            A = rng.normal(size=(4, 4))
+            H = A @ A.T + 0.5 * np.eye(4)
+            g = rng.normal(size=4) * 3
+            lo, hi = -0.3 * np.ones(4), 0.8 * np.ones(4)
+            d, _ = boxqp(jnp.asarray(H), jnp.asarray(g), jnp.asarray(lo), jnp.asarray(hi))
+            d = np.asarray(d)
+            grad = g + H @ d
+            # projected-gradient KKT residual
+            pg = np.where((d <= lo + 1e-9) & (grad > 0), 0.0, grad)
+            pg = np.where((d >= hi - 1e-9) & (pg < 0), 0.0, pg)
+            assert np.abs(pg).max() < 1e-6
+
+
+class TestSolverVsOracle:
+    def test_short_horizon_matches_oracle(self):
+        """H=15 problem: iLQR and L-BFGS-B must find the same optimum."""
+        cfg = SolverConfig(horizon=15, max_iters=200)
+        x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
+        t = 1.0
+        solve = jax.jit(make_mpc_solver(PARAMS, WEIGHTS, cfg))
+        sol = solve(
+            jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
+            jnp.asarray(tra_pos), jnp.asarray(tra_ang), jnp.asarray(t),
+        )
+        X, U, cost, res = solve_shooting_oracle(
+            PARAMS, WEIGHTS, cfg, x0, u_last, goal, tra_pos, tra_ang, t,
+            U_init=np.asarray(sol.control_traj), maxiter=5000,
+        )
+        mae = np.mean(np.abs(np.asarray(sol.control_traj) - U))
+        assert mae < 1e-3, f"control MAE {mae}"
+        # oracle warm-started at our solution must not find meaningfully lower cost
+        assert float(sol.cost) - cost < 1e-2 * (abs(cost) + 1)
+
+    def test_full_horizon_flagship(self):
+        """The BASELINE.md config-1 check: H=50 static gate, control-seq MAE
+        < 1e-3 vs the converged f64 oracle."""
+        cfg = SolverConfig(horizon=50, max_iters=200)
+        x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
+        solve = jax.jit(make_mpc_solver(PARAMS, WEIGHTS, cfg))
+        sol = solve(
+            jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
+            jnp.asarray(tra_pos), jnp.asarray(tra_ang), jnp.asarray(t),
+        )
+        assert bool(sol.converged)
+        X, U, cost, res = solve_shooting_oracle(
+            PARAMS, WEIGHTS, cfg, x0, u_last, goal, tra_pos, tra_ang, t,
+            U_init=np.asarray(sol.control_traj), maxiter=3000,
+        )
+        mae = np.mean(np.abs(np.asarray(sol.control_traj) - U))
+        assert mae < 1e-3, f"control MAE {mae}"
+
+    def test_controls_within_bounds(self):
+        cfg = SolverConfig(horizon=20, max_iters=100)
+        x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
+        solve = jax.jit(make_mpc_solver(PARAMS, WEIGHTS, cfg))
+        sol = solve(
+            jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
+            jnp.asarray(tra_pos), jnp.asarray(tra_ang), jnp.asarray(1.5),
+        )
+        U = np.asarray(sol.control_traj)
+        assert U.min() >= cfg.u_lb - 1e-12
+        assert U.max() <= cfg.u_ub + 1e-12
+
+    def test_solution_cost_consistent_with_rollout(self):
+        """Reported cost equals the independently-evaluated objective."""
+        cfg = SolverConfig(horizon=20, max_iters=100)
+        x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
+        solve = jax.jit(make_mpc_solver(PARAMS, WEIGHTS, cfg))
+        sol = solve(
+            jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
+            jnp.asarray(tra_pos), jnp.asarray(tra_ang), jnp.asarray(1.5),
+        )
+        X = rollout(jnp.asarray(x0), sol.control_traj, cfg.dt, PARAMS)
+        np.testing.assert_allclose(np.asarray(X), np.asarray(sol.state_traj), atol=1e-9)
+        tq = rodrigues_to_quat(jnp.asarray(tra_ang))
+        c = total_trajectory_cost(
+            X, sol.control_traj, jnp.asarray(u_last), cfg.dt, 1.5,
+            jnp.asarray(goal), jnp.asarray(tra_pos), tq, WEIGHTS,
+        )
+        np.testing.assert_allclose(float(sol.cost), float(c), rtol=1e-9)
+
+    def test_quantize_t(self):
+        """t rounding to 0.1 (quad_policy.py:70): 1.4700001 and 1.5 solve the
+        same problem when quantize_t=True."""
+        cfg = SolverConfig(horizon=10, max_iters=60)
+        x0, u_last, goal, tra_pos, tra_ang, _ = canonical_scenario()
+        solve = jax.jit(make_mpc_solver(PARAMS, WEIGHTS, cfg))
+        a = solve(jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
+                  jnp.asarray(tra_pos), jnp.asarray(tra_ang), jnp.asarray(1.4700001))
+        b = solve(jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
+                  jnp.asarray(tra_pos), jnp.asarray(tra_ang), jnp.asarray(1.5))
+        np.testing.assert_allclose(
+            np.asarray(a.control_traj), np.asarray(b.control_traj), atol=1e-12
+        )
+
+
+class TestBatchedSolver:
+    def test_batched_matches_single(self, rng):
+        cfg = SolverConfig(horizon=10, max_iters=60)
+        B = 3
+        x0 = np.zeros((B, 13))
+        x0[:, 0:3] = rng.uniform(-1, 1, size=(B, 3)) + [0, -8, 0]
+        x0[:, 6] = 1.0
+        u_last = np.zeros((B, 4))
+        goal = rng.uniform(-1, 1, size=(B, 3)) + [0, 6, 0]
+        tra_pos = rng.uniform(-0.3, 0.3, size=(B, 3))
+        tra_ang = rng.normal(size=(B, 3)) * 0.2
+        t = np.array([1.0, 1.3, 0.8])
+
+        bsolve = jax.jit(make_batched_mpc_solver(PARAMS, WEIGHTS, cfg))
+        bsol = bsolve(
+            jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
+            jnp.asarray(tra_pos), jnp.asarray(tra_ang), jnp.asarray(t),
+        )
+        ssolve = jax.jit(make_mpc_solver(PARAMS, WEIGHTS, cfg, return_gains=False))
+        for i in range(B):
+            si = ssolve(
+                jnp.asarray(x0[i]), jnp.asarray(u_last[i]), jnp.asarray(goal[i]),
+                jnp.asarray(tra_pos[i]), jnp.asarray(tra_ang[i]), jnp.asarray(t[i]),
+            )
+            # batched while_loop runs the union of iterations; converged
+            # problems no-op, so results agree to solver tolerance
+            np.testing.assert_allclose(
+                np.asarray(bsol.control_traj[i]),
+                np.asarray(si.control_traj),
+                atol=5e-5,
+            )
