@@ -1,0 +1,185 @@
+"""Policy layer: the MPC objective (reward-through-solver) and its two
+learning signals — the reference-semantics finite-difference gradient and the
+analytic differentiable-MPC gradient.
+
+This is the TPU-native `run_quad` (reference quad_policy.py:15-211).  Key
+difference: where the reference rebuilds CasADi symbols and calls IPOPT 9
+times per gradient inside forked worker processes (deep_learning.py:24-32,
+quad_policy.py:94-112), here the 9 probe problems are one extra batch axis
+of the vmapped solver — a single XLA computation per training batch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from learningagileflight_se3_tpu.config import (
+    CostWeights,
+    LearnedGradConfig,
+    QuadParams,
+    RewardConfig,
+    SolverConfig,
+)
+from learningagileflight_se3_tpu.dynamics.quadrotor import rollout
+from learningagileflight_se3_tpu.geometry.collision import trajectory_reward
+from learningagileflight_se3_tpu.solver.diff import make_differentiable_control_solver
+from learningagileflight_se3_tpu.solver.ilqr import make_mpc_solver
+
+
+class ObjectiveResult(NamedTuple):
+    reward: jnp.ndarray
+    collision: jnp.ndarray
+    path: jnp.ndarray
+    inside_gate: jnp.ndarray
+    state_traj: jnp.ndarray
+    control_traj: jnp.ndarray
+    solver_iterations: jnp.ndarray
+    solver_converged: jnp.ndarray
+
+
+def make_objective(
+    params: QuadParams,
+    weights: CostWeights,
+    solver_cfg: SolverConfig,
+    reward_cfg: RewardConfig,
+):
+    """objective(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t) -> ObjectiveResult.
+
+    Mirrors run_quad.objective (quad_policy.py:67-91): solve the MPC, map the
+    trajectory to rotor tips, score collision + terminal path, combine."""
+    solve = make_mpc_solver(params, weights, solver_cfg, return_gains=False)
+    H = solver_cfg.horizon
+
+    def objective(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t, U_init=None):
+        sol = solve(x0, u_last, goal, tra_pos, tra_ang, t, U_init)
+        reward, collision, path, inside = trajectory_reward(
+            sol.state_traj, gate_pts, goal, reward_cfg, H
+        )
+        return ObjectiveResult(
+            reward=reward,
+            collision=collision,
+            path=path,
+            inside_gate=inside,
+            state_traj=sol.state_traj,
+            control_traj=sol.control_traj,
+            solver_iterations=sol.iterations,
+            solver_converged=sol.converged,
+        )
+
+    return objective
+
+
+def make_fd_gradient(
+    params: QuadParams,
+    weights: CostWeights,
+    solver_cfg: SolverConfig,
+    reward_cfg: RewardConfig,
+    grad_cfg: LearnedGradConfig = LearnedGradConfig(),
+):
+    """Reference-exact finite-difference learning signal
+    (run_quad.sol_gradient, quad_policy.py:94-112).
+
+    Returns fd_gradient(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t)
+      -> (neg_grad (7,), reward scalar)
+    matching the reference's `[-drdx..,-drdt, j]` convention: the 9 probe
+    solves [base, +dx,+dy,+dz, +da,+db,+dc, t-0.1, t+0.1] run as ONE vmapped
+    batch; differences are clipped to +-0.5, position grads scaled by 0.1,
+    angle grads by 1/(500 a_i^2 + 5), and the time gradient quantized to
+    {0, +-0.05} by the reward>2 test.
+
+    (Reference quirk preserved-by-equivalence: sol_gradient forwards Ulast
+    only to the six pose probes, but every training call passes Ulast=None ->
+    zeros (deep_learning.py:32), so a uniform u_last reproduces the exercised
+    behavior.)"""
+    objective = make_objective(params, weights, solver_cfg, reward_cfg)
+    d = grad_cfg.delta
+
+    def fd_gradient(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t):
+        dtype = tra_pos.dtype
+        eye = jnp.eye(3, dtype=dtype) * d
+        tp = jnp.concatenate(
+            [tra_pos[None], tra_pos[None] + eye, jnp.tile(tra_pos[None], (5, 1))]
+        )  # (9,3)
+        ta = jnp.concatenate(
+            [
+                jnp.tile(tra_ang[None], (4, 1)),
+                tra_ang[None] + eye,
+                jnp.tile(tra_ang[None], (2, 1)),
+            ]
+        )  # (9,3)
+        ts = jnp.concatenate(
+            [
+                jnp.full((7,), t, dtype),
+                jnp.asarray([t - grad_cfg.t_probe, t + grad_cfg.t_probe], dtype),
+            ]
+        )  # (9,)
+
+        res = jax.vmap(
+            lambda tpi, tai, ti: objective(x0, u_last, goal, gate_pts, tpi, tai, ti)
+        )(tp, ta, ts)
+        r = res.reward
+        r0 = r[0]
+        diffs = jnp.clip(r[1:7] - r0, -grad_cfg.clip, grad_cfg.clip)
+        g_pos = diffs[0:3] * grad_cfg.pos_scale
+        g_ang = diffs[3:6] / (grad_cfg.ang_scale_a * tra_ang**2 + grad_cfg.ang_scale_b)
+        g_t = jnp.where(
+            r[8] - r0 > grad_cfg.t_threshold,
+            grad_cfg.t_step,
+            jnp.where(r[7] - r0 > grad_cfg.t_threshold, -grad_cfg.t_step, 0.0),
+        )
+        neg_grad = -jnp.concatenate([g_pos, g_ang, g_t[None]])
+        return neg_grad, r0
+
+    return fd_gradient
+
+
+def make_analytic_gradient(
+    params: QuadParams,
+    weights: CostWeights,
+    solver_cfg: SolverConfig,
+    reward_cfg: RewardConfig,
+):
+    """Analytic differentiable-MPC learning signal (the PDP path the reference
+    sketched but never ran, quad_OC.py:214-306): ONE solve per scenario, with
+    d(reward)/d(tra_pos, tra_ang, t) by the implicit-function custom-VJP.
+
+    Returns analytic_gradient(...) -> (grad (7,), reward scalar); note this is
+    the TRUE ascent gradient (+d reward), sign-compatible with the
+    reference's neg_grad after the surrogate-loss flip."""
+    solve_u = make_differentiable_control_solver(params, weights, solver_cfg)
+    H = solver_cfg.horizon
+
+    def reward_of(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t):
+        U = solve_u(x0, u_last, goal, tra_pos, tra_ang, t)
+        X = rollout(x0, U, solver_cfg.dt, params)
+        reward, *_ = trajectory_reward(X, gate_pts, goal, reward_cfg, H)
+        return reward
+
+    def analytic_gradient(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t):
+        r, (g_tp, g_ta, g_t) = jax.value_and_grad(reward_of, argnums=(4, 5, 6))(
+            x0, u_last, goal, gate_pts, tra_pos, tra_ang, t
+        )
+        return jnp.concatenate([g_tp, g_ta, g_t[None]]), r
+
+    return analytic_gradient
+
+
+def make_get_input(
+    params: QuadParams,
+    weights: CostWeights,
+    solver_cfg: SolverConfig,
+):
+    """run_quad.get_input (quad_policy.py:202-211): full MPC solve, return the
+    first control (receding-horizon convention). Supports warm starting —
+    pass the previous solution's control trajectory as U_init for the
+    closed-loop 10 Hz replanning loop."""
+    solve = make_mpc_solver(params, weights, solver_cfg, return_gains=False)
+
+    def get_input(x0, u_last, tra_pos, tra_ang, t, goal, U_init: Optional[jnp.ndarray] = None):
+        sol = solve(x0, u_last, goal, tra_pos, tra_ang, t, U_init)
+        return sol.control_traj[0], sol
+
+    return get_input
