@@ -1,0 +1,116 @@
+"""Benchmark: batched MPC solver throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "mpc_solves_per_sec_chip", "value": N, "unit": "solves/s",
+   "vs_baseline": N / 10.0, ...}
+
+Baseline: the reference solves ONE ~863-variable CasADi/IPOPT NLP per MPC
+query with a 100 ms real-time budget at 10 Hz replanning on a single CPU core
+(BASELINE.md: main.py:76; quad_OC.py:104-212) => 10 solves/s/core.  The
+north-star target is >=1000x that on one TPU host (BASELINE.json).
+
+Each solve here is the full H=50 gate-traversal problem from a cold start
+(hover initialization, fresh scenario), run to the solver's own convergence —
+the same work the reference's RL gradient workers do 9x per sample.
+Diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from learningagileflight_se3_tpu.config import (
+        CostWeights,
+        QuadParams,
+        SolverConfig,
+    )
+    from learningagileflight_se3_tpu.models.sampler import sample_scenarios, scenario_to_problem
+    from learningagileflight_se3_tpu.solver.ilqr import make_batched_mpc_solver
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}  platform: {jax.default_backend()}")
+
+    params_q = QuadParams()
+    weights = CostWeights()
+    # f32 on TPU: relative tolerances sized to f32 resolution
+    solver_cfg = SolverConfig(horizon=50, max_iters=50, tol=1e-6, gtol=1e-5)
+
+    batch = 256
+    if jax.default_backend() == "cpu":
+        batch = 8  # CI / fallback path
+
+    key = jax.random.PRNGKey(0)
+    scen = sample_scenarios(key, batch).astype(jnp.float32)
+    probs = jax.vmap(scenario_to_problem)(scen)
+    x0 = probs["x0"]
+    goal = probs["goal_pos"]
+    u_last = jnp.zeros((batch, 4), jnp.float32)
+    # traversal parameters near gate center, t from distance/4 heuristic
+    tra_pos = jnp.zeros((batch, 3), jnp.float32)
+    tra_ang = jnp.concatenate(
+        [jnp.zeros((batch, 1)), scen[:, 8:9] * 0.5, jnp.zeros((batch, 1))], axis=1
+    ).astype(jnp.float32)
+    t = jnp.clip(jnp.linalg.norm(x0[:, 0:3], axis=1) / 4.0, 2.0, 4.0).astype(jnp.float32)
+
+    solve = jax.jit(make_batched_mpc_solver(params_q, weights, solver_cfg))
+
+    t0 = time.time()
+    sol = solve(x0, u_last, goal, tra_pos, tra_ang, t)
+    jax.block_until_ready(sol.control_traj)
+    compile_s = time.time() - t0
+    log(f"compile+first batch ({batch} solves): {compile_s:.1f}s; "
+        f"iters mean {float(sol.iterations.mean()):.1f} max {int(sol.iterations.max())}, "
+        f"converged {int(sol.converged.sum())}/{batch}")
+
+    # timed runs on fresh scenarios (same shapes -> cached executable)
+    n_rep = 3
+    times = []
+    for i in range(n_rep):
+        k = jax.random.PRNGKey(100 + i)
+        scen_i = sample_scenarios(k, batch).astype(jnp.float32)
+        probs_i = jax.vmap(scenario_to_problem)(scen_i)
+        t_i = jnp.clip(
+            jnp.linalg.norm(probs_i["x0"][:, 0:3], axis=1) / 4.0, 2.0, 4.0
+        ).astype(jnp.float32)
+        ta_i = jnp.concatenate(
+            [jnp.zeros((batch, 1)), scen_i[:, 8:9] * 0.5, jnp.zeros((batch, 1))],
+            axis=1,
+        ).astype(jnp.float32)
+        t0 = time.time()
+        sol = solve(probs_i["x0"], u_last, probs_i["goal_pos"],
+                    jnp.zeros((batch, 3), jnp.float32), ta_i, t_i)
+        jax.block_until_ready(sol.control_traj)
+        times.append(time.time() - t0)
+        log(f"rep {i}: {times[-1]:.3f}s  ({batch/times[-1]:.1f} solves/s)")
+
+    best = min(times)
+    solves_per_sec = batch / best
+    baseline = 10.0  # IPOPT solves/s/core implied by the 10 Hz budget
+    out = {
+        "metric": "mpc_solves_per_sec_chip",
+        "value": round(solves_per_sec, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / baseline, 2),
+        "batch": batch,
+        "horizon": 50,
+        "platform": jax.default_backend(),
+        "mean_solver_iters": round(float(sol.iterations.mean()), 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from learningagileflight_se3_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+)

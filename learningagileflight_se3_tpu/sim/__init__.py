@@ -1,0 +1,5 @@
+from learningagileflight_se3_tpu.sim.tsolver import make_traversal_time_solver
+from learningagileflight_se3_tpu.sim.closed_loop import (
+    ClosedLoopLog,
+    make_closed_loop_sim,
+)

@@ -138,7 +138,9 @@ def make_mpc_solver(
             zn = _aug_dynamics(z, u, dt, params)
             return (zn, c), zn
 
-        (zH, c), Z = jax.lax.scan(body, (z0, 0.0), (U, prob.t_weights))
+        (zH, c), Z = jax.lax.scan(
+            body, (z0, z0[0] * 0.0), (U, prob.t_weights)
+        )
         c = c + _final_cost(zH, prob, weights)
         Z = jnp.concatenate([z0[None], Z], axis=0)
         return Z, c
@@ -232,7 +234,10 @@ def make_mpc_solver(
             pg = jnp.max(jnp.abs(Qu) * free)
             return (Vz_n, Vzz_n, dV1, dV2, fail), (k_ff, K, pg)
 
-        init = (phi_z, phi_zz, jnp.zeros((), phi_z.dtype), jnp.zeros((), phi_z.dtype), jnp.zeros((), bool))
+        # derive scalar inits from varying values so the scan carry keeps
+        # consistent manual axes under shard_map
+        zero = phi_z[0] * 0.0
+        init = (phi_z, phi_zz, zero, zero, zero > 1.0)
         (Vz, Vzz, dV1, dV2, fail), (kk, KK, pgs) = jax.lax.scan(
             step, init, (A, B, lz, lu, lzz, luz, luu, U, Z[:-1]), reverse=True
         )
@@ -252,7 +257,7 @@ def make_mpc_solver(
             return (zn, c), (zn, u)
 
         (zH, c), (Zn, Un) = jax.lax.scan(
-            body, (z0, 0.0), (Z[:-1], U, kk, KK, prob.t_weights)
+            body, (z0, z0[0] * 0.0), (Z[:-1], U, kk, KK, prob.t_weights)
         )
         c = c + _final_cost(zH, prob, weights)
         Zn = jnp.concatenate([z0[None], Zn], axis=0)
@@ -280,9 +285,10 @@ def make_mpc_solver(
             U0 = jnp.full((H, NU), 0.5 * (lb + ub), dtype)
         else:
             U0 = U_init.astype(dtype)
+        U0 = U0 + prob.z0[0] * 0.0  # shard_map-safe: match z0's manual axes
 
         Z, J0 = rollout_cost(prob.z0, U0, prob)
-        KK0 = jnp.zeros((H, NU, NZ), dtype)
+        KK0 = jnp.zeros((H, NU, NZ), dtype) + J0 * 0.0
 
         def cond(state):
             Z, U, J, KK, reg, done, it, pg = state
@@ -328,9 +334,12 @@ def make_mpc_solver(
             done_n = stationary | (~improved & ~stationary & (reg > cfg.reg_max))
             return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it + 1, pg)
 
-        reg0 = jnp.asarray(cfg.reg_init, dtype)
-        pg0 = jnp.asarray(jnp.inf, dtype)
-        state0 = (Z, U0, J0, KK0, reg0, jnp.zeros((), bool), jnp.zeros((), jnp.int32), pg0)
+        # shard_map-safe inits: derive from the (possibly axis-varying) J0
+        reg0 = J0 * 0.0 + cfg.reg_init
+        pg0 = J0 * 0.0 + jnp.inf
+        done0 = J0 != J0  # False unless the initial rollout is already NaN
+        it0 = (J0 * 0.0).astype(jnp.int32)
+        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0)
         Zf, Uf, Jf, KKf, regf, donef, itf, pgf = jax.lax.while_loop(cond, body, state0)
 
         sol = MPCSolution(

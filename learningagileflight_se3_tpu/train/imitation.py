@@ -1,0 +1,149 @@
+"""Stage 3 — imitation learning of DNN2 from DNN1's MPC rollouts
+(reference nn_train_2.py).
+
+Reference: 16 forked processes each run one IPOPT solve to produce a 51x13
+teacher trajectory (nn_train_2.py:29-40), then every state along the
+trajectory is relabeled with the teacher's output and a counted-down
+traversal time out[6] - 0.1*i (nn_train_2.py:76-83), trained with MSE at lr
+1e-6.
+
+TPU-native: the rollout collection is the batched MPC solver (one XLA call
+for the whole scenario batch) and the 50x relabeling is a reshape.  The
+reference's world-frame-input quirk (nn_train_2.py:77 trains DNN2 on
+world-frame states while deployment feeds window-frame states, main.py:93) is
+exposed as `window_frame`: False replicates the exercised reference behavior,
+True is the arguably-intended variant (SURVEY.md section 7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from learningagileflight_se3_tpu.config import (
+    CostWeights,
+    QuadParams,
+    SamplerConfig,
+    SolverConfig,
+)
+from learningagileflight_se3_tpu.geometry.gate import transform_state_to_window, final_to_window
+from learningagileflight_se3_tpu.models.mlp import make_dnn1, make_dnn2
+from learningagileflight_se3_tpu.models.sampler import sample_scenarios, scenario_to_problem
+from learningagileflight_se3_tpu.solver.ilqr import make_mpc_solver
+
+
+def make_imitation_collect(
+    model1,
+    params_q: QuadParams,
+    weights: CostWeights,
+    solver_cfg: SolverConfig,
+    window_frame: bool = False,
+):
+    """collect(nn1_params, scenarios (B,9)) -> (inputs (B*H, 18), labels (B*H, 7)).
+
+    Per scenario: teacher DNN1 output -> one MPC solve -> relabel every step i
+    with [teacher_out(6), t - 0.1*i] (nn_train_2.py:81-83)."""
+    solve = make_mpc_solver(params_q, weights, solver_cfg, return_gains=False)
+    H = solver_cfg.horizon
+    dt = solver_cfg.dt
+
+    def one(nn1_params, scen):
+        prob = scenario_to_problem(scen)
+        out = model1.apply(nn1_params, scen)
+        sol = solve(
+            prob["x0"], jnp.zeros(4, scen.dtype), prob["goal_pos"],
+            out[0:3], out[3:6], out[6],
+        )
+        states = sol.state_traj[:H]  # (H, 13) — steps 0..H-1 (nn_train_2.py:74-77)
+        if window_frame:
+            states = jax.vmap(
+                lambda s: transform_state_to_window(prob["gate_pts"], s)
+            )(states)
+            final = final_to_window(prob["gate_pts"], prob["goal_pos"])
+        else:
+            final = prob["goal_pos"]
+        gap = scen[7:9]  # width, pitch (nn_train_2.py:79)
+        inputs = jnp.concatenate(
+            [
+                states,
+                jnp.tile(final[None, :], (H, 1)),
+                jnp.tile(gap[None, :], (H, 1)),
+            ],
+            axis=1,
+        )  # (H, 18)
+        steps = jnp.arange(H, dtype=scen.dtype)
+        labels = jnp.concatenate(
+            [
+                jnp.tile(out[None, 0:6], (H, 1)),
+                (out[6] - steps * dt * 1.0)[:, None],
+            ],
+            axis=1,
+        )  # (H, 7); countdown 0.10 per step (nn_train_2.py:83)
+        return inputs, labels
+
+    def collect(nn1_params, scen_b):
+        inputs, labels = jax.vmap(lambda s: one(nn1_params, s))(scen_b)
+        return inputs.reshape(-1, 18), labels.reshape(-1, 7)
+
+    return collect
+
+
+def make_imitation_train_step(model2, optimizer):
+    """One MSE step over a collected (inputs, labels) batch."""
+
+    def step(nn2_params, opt_state, inputs, labels):
+        def loss_fn(p):
+            pred = model2.apply(p, inputs)
+            return jnp.mean((pred - labels) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(nn2_params)
+        updates, opt_state = optimizer.update(grads, opt_state, nn2_params)
+        nn2_params = optax.apply_updates(nn2_params, updates)
+        return nn2_params, opt_state, loss
+
+    return step
+
+
+def run_imitation_training(
+    key,
+    nn1_params,
+    epochs: int = 100,
+    batch_scenarios: int = 16,
+    sgd_passes: int = 4,
+    lr: float = 1e-6,
+    params_q: QuadParams = QuadParams(),
+    weights: CostWeights = CostWeights(),
+    solver_cfg: SolverConfig = SolverConfig(),
+    sampler_cfg: SamplerConfig = SamplerConfig(),
+    window_frame: bool = False,
+    nn2_params=None,
+    log_fn=print,
+):
+    """Full stage-3 driver (hyperparams nn_train_2.py:14-17: 1600 teacher
+    trajectories total at 16/epoch; lr 1e-6)."""
+    model1 = make_dnn1()
+    model2 = make_dnn2()
+    if nn2_params is None:
+        key, ik = jax.random.split(key)
+        nn2_params = model2.init(ik, jnp.zeros((1, 18)))
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(nn2_params)
+
+    collect = jax.jit(
+        make_imitation_collect(model1, params_q, weights, solver_cfg, window_frame)
+    )
+    step = jax.jit(make_imitation_train_step(model2, optimizer))
+
+    losses = []
+    for epoch in range(epochs):
+        key, k = jax.random.split(key)
+        scen = sample_scenarios(k, batch_scenarios, sampler_cfg)
+        inputs, labels = collect(nn1_params, scen)
+        for _ in range(sgd_passes):
+            nn2_params, opt_state, loss = step(nn2_params, opt_state, inputs, labels)
+        losses.append(float(loss))
+        log_fn(f"imitation epoch {epoch+1}/{epochs} loss {float(loss):.6f}")
+    return model2, nn2_params, losses

@@ -1,0 +1,171 @@
+"""Stage 2 — differentiable-MPC reinforcement learning of DNN1
+(reference deep_learning.py).
+
+Reference structure: 5 restarts x 100 epochs x batch 100, where each sample
+forks a process that builds a fresh CasADi NLP and runs 9 IPOPT solves for
+the FD gradient (deep_learning.py:24-32,66-72; quad_policy.py:94-112), then
+the parent applies one Adam step per sample with the surrogate loss
+<dp, out> (deep_learning.py:75-81).
+
+TPU-native re-design: the whole batch's 9B probe solves are ONE vmapped,
+mesh-sharded XLA computation; per-scenario learning signals dp are reduced
+into a single surrogate-loss gradient (mean over batch replaces the
+reference's sequential per-sample Adam steps — documented deviation) and
+psum'd over the scenario axis with shard_map.  `grad_mode='analytic'`
+switches the learning signal to the implicit-function VJP (1 solve instead
+of 9 per scenario).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from learningagileflight_se3_tpu.config import (
+    CostWeights,
+    LearnedGradConfig,
+    QuadParams,
+    RewardConfig,
+    SamplerConfig,
+    SolverConfig,
+)
+from learningagileflight_se3_tpu.models.mlp import make_dnn1, surrogate_inner_loss
+from learningagileflight_se3_tpu.models.sampler import sample_scenarios, scenario_to_problem
+from learningagileflight_se3_tpu.parallel.mesh import SCENARIO_AXIS
+from learningagileflight_se3_tpu.policy import make_analytic_gradient, make_fd_gradient
+
+
+def make_rl_train_step(
+    model,
+    optimizer,
+    params_q: QuadParams,
+    weights: CostWeights,
+    solver_cfg: SolverConfig,
+    reward_cfg: RewardConfig,
+    grad_cfg: LearnedGradConfig = LearnedGradConfig(),
+    mesh: Optional[Mesh] = None,
+    grad_mode: str = "fd",
+):
+    """Build the jitted RL step.
+
+    step(nn_params, opt_state, scenarios (B,9)) ->
+        (nn_params, opt_state, mean_reward, rewards (B,))
+
+    When `mesh` is given, the step is shard_map'ed: scenarios sharded over the
+    scenario axis, params replicated, gradients psum-reduced over ICI."""
+    if grad_mode == "fd":
+        signal = make_fd_gradient(params_q, weights, solver_cfg, reward_cfg, grad_cfg)
+        flip = 1.0  # fd returns the NEGATED ascent gradient already
+    elif grad_mode == "analytic":
+        ana = make_analytic_gradient(params_q, weights, solver_cfg, reward_cfg)
+
+        def signal(*args):
+            g, r = ana(*args)
+            return -g, r  # match the reference's neg-grad convention
+
+        flip = 1.0
+    else:
+        raise ValueError(grad_mode)
+
+    def per_scenario_dp(nn_params, scen):
+        """dp (7,) learning signal + reward for one 9-dim scenario."""
+        prob = scenario_to_problem(scen)
+        out = model.apply(nn_params, scen)
+        dp, reward = signal(
+            prob["x0"],
+            jnp.zeros(4, scen.dtype),
+            prob["goal_pos"],
+            prob["gate_pts"],
+            out[0:3],
+            out[3:6],
+            out[6],
+        )
+        return dp, reward
+
+    def batch_grads(nn_params, scen_b):
+        dp, rewards = jax.vmap(lambda s: per_scenario_dp(nn_params, s))(scen_b)
+
+        def loss_fn(p):
+            outs = model.apply(p, scen_b)
+            return flip * surrogate_inner_loss(outs, dp) / scen_b.shape[0]
+
+        grads = jax.grad(loss_fn)(nn_params)
+        return grads, rewards
+
+    if mesh is None:
+
+        @jax.jit
+        def step(nn_params, opt_state, scen):
+            grads, rewards = batch_grads(nn_params, scen)
+            updates, opt_state = optimizer.update(grads, opt_state, nn_params)
+            nn_params = optax.apply_updates(nn_params, updates)
+            return nn_params, opt_state, jnp.mean(rewards), rewards
+
+        return step
+
+    n_shards = mesh.shape[SCENARIO_AXIS]
+
+    def sharded_grads(nn_params, scen_local):
+        grads, rewards = batch_grads(nn_params, scen_local)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, SCENARIO_AXIS) / n_shards, grads
+        )
+        return grads, rewards
+
+    smapped = shard_map(
+        sharded_grads,
+        mesh=mesh,
+        in_specs=(P(), P(SCENARIO_AXIS)),
+        out_specs=(P(), P(SCENARIO_AXIS)),
+    )
+
+    @jax.jit
+    def step(nn_params, opt_state, scen):
+        grads, rewards = smapped(nn_params, scen)
+        updates, opt_state = optimizer.update(grads, opt_state, nn_params)
+        nn_params = optax.apply_updates(nn_params, updates)
+        return nn_params, opt_state, jnp.mean(rewards), rewards
+
+    return step
+
+
+def run_rl_training(
+    key,
+    pretrained_params,
+    epochs: int = 100,
+    batch_size: int = 128,
+    lr: float = 1e-4,
+    params_q: QuadParams = QuadParams(),
+    weights: CostWeights = CostWeights(),
+    solver_cfg: SolverConfig = SolverConfig(),
+    reward_cfg: RewardConfig = RewardConfig(),
+    sampler_cfg: SamplerConfig = SamplerConfig(),
+    mesh: Optional[Mesh] = None,
+    grad_mode: str = "fd",
+    log_fn=print,
+):
+    """Full stage-2 driver (one restart of deep_learning.py's outer loop;
+    hyperparams deep_learning.py:13-16, lr 1e-4)."""
+    model = make_dnn1()
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(pretrained_params)
+    nn_params = pretrained_params
+    step = make_rl_train_step(
+        model, optimizer, params_q, weights, solver_cfg, reward_cfg,
+        mesh=mesh, grad_mode=grad_mode,
+    )
+
+    mean_rewards = []
+    for epoch in range(epochs):
+        key, k = jax.random.split(key)
+        scen = sample_scenarios(k, batch_size, sampler_cfg)
+        nn_params, opt_state, mean_r, _ = step(nn_params, opt_state, scen)
+        mean_rewards.append(float(mean_r))
+        log_fn(f"rl epoch {epoch+1}/{epochs} mean reward {float(mean_r):.3f}")
+    return model, nn_params, mean_rewards

@@ -1,0 +1,100 @@
+"""Closed-loop sim tests (SURVEY.md section 4 anchor 6): the main.py-equivalent
+jitted simulation runs end-to-end, logs have the reference shapes, the
+traversal-time fixed point converges, and the plant discretization matches the
+NumPy oracle step-for-step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from learningagileflight_se3_tpu.config import (
+    CostWeights,
+    GateMotionConfig,
+    QuadParams,
+    SolverConfig,
+)
+from learningagileflight_se3_tpu.geometry.gate import gate_from_width, rotate_y
+from learningagileflight_se3_tpu.models.mlp import make_dnn2
+from learningagileflight_se3_tpu.oracle.numpy_reference import np_euler_step
+from learningagileflight_se3_tpu.sim.closed_loop import make_closed_loop_sim
+from learningagileflight_se3_tpu.sim.tsolver import make_traversal_time_solver
+
+
+def _dnn2_with_params(key):
+    model2 = make_dnn2()
+    params2 = model2.init(key, jnp.zeros((1, 18)))
+    return model2, params2
+
+
+class TestTraversalTimeSolver:
+    def test_fixed_point_converges(self):
+        model2, params2 = _dnn2_with_params(jax.random.PRNGKey(0))
+        tsolve = jax.jit(make_traversal_time_solver(model2, tol=1e-3))
+        state = jnp.zeros(13).at[6].set(1.0).at[1].set(-6.0)
+        gate_pts = rotate_y(gate_from_width(jnp.asarray(1.0)), jnp.asarray(0.3))
+        t = tsolve(params2, state, jnp.asarray([0.0, 6.0, 0.0]), gate_pts,
+                   jnp.asarray([1.0, 0.3, 0.4]), jnp.asarray(np.pi / 2))
+        assert np.isfinite(float(t))
+
+    def test_fixed_point_property(self):
+        """At the returned t, the DNN2 prediction at the predicted gate pose
+        is within tol of t (quad_moving.py:45)."""
+        from learningagileflight_se3_tpu.geometry.gate import (
+            rotate_y as ry, translate, window_inputs,
+        )
+
+        model2, params2 = _dnn2_with_params(jax.random.PRNGKey(1))
+        tol = 1e-3
+        tsolve = jax.jit(make_traversal_time_solver(model2, tol=tol))
+        state = jnp.zeros(13).at[6].set(1.0).at[1].set(-5.0)
+        final = jnp.asarray([0.0, 6.0, 0.0])
+        gate_pts = gate_from_width(jnp.asarray(1.0))
+        velo = jnp.asarray([0.5, 0.2, 0.1])
+        w = jnp.asarray(1.0)
+        t1 = tsolve(params2, state, final, gate_pts, velo, w)
+        pts = ry(translate(gate_pts, velo * t1), w * t1)
+        t2 = model2.apply(params2, window_inputs(pts, state, final))[6]
+        assert abs(float(t2) - float(t1)) <= tol + 1e-9
+
+
+class TestClosedLoop:
+    def test_short_sim_runs(self):
+        model2, params2 = _dnn2_with_params(jax.random.PRNGKey(2))
+        cfg = SolverConfig(horizon=10, max_iters=15)
+        sim = jax.jit(
+            make_closed_loop_sim(
+                model2,
+                solver_cfg=cfg,
+                steps=40,
+                control_every=10,
+            )
+        )
+        scen = jnp.asarray([0.0, -8.0, 0.0, 0.0, 6.0, 0.0, 0.05, 1.0, 0.4])
+        log = sim(params2, scen, jax.random.PRNGKey(3))
+        assert log.states.shape == (41, 13)
+        assert log.controls.shape == (41, 4)
+        assert log.hl_variables.shape == (41, 7)
+        assert log.gate_moves.shape == (41, 4, 3)
+        assert np.all(np.isfinite(np.asarray(log.states)))
+        # MPC ran only on replanning steps
+        iters = np.asarray(log.solver_iters)
+        assert (iters[0] > 0) and np.all(iters[1:10] == 0) and (iters[10] > 0)
+        # controls within bounds
+        U = np.asarray(log.controls)
+        assert U.min() >= cfg.u_lb - 1e-9 and U.max() <= cfg.u_ub + 1e-9
+
+    def test_plant_matches_numpy_oracle(self):
+        """The 100 Hz plant is the reference dyn_fn Euler step (main.py:108)."""
+        model2, params2 = _dnn2_with_params(jax.random.PRNGKey(4))
+        cfg = SolverConfig(horizon=8, max_iters=10)
+        sim = jax.jit(
+            make_closed_loop_sim(model2, solver_cfg=cfg, steps=15, control_every=10)
+        )
+        scen = jnp.asarray([0.5, -7.0, 0.2, 0.0, 6.0, 0.0, 0.0, 1.1, 0.3])
+        log = sim(params2, scen, jax.random.PRNGKey(5))
+        states = np.asarray(log.states)
+        controls = np.asarray(log.controls)
+        p = QuadParams()
+        for i in range(15):
+            expected = np_euler_step(states[i], controls[i + 1], 0.01, p)
+            np.testing.assert_allclose(states[i + 1], expected, atol=1e-8)

@@ -1,0 +1,188 @@
+"""Training-pipeline tests: samplers match reference distributions/labels,
+each stage's step runs and learns on tiny shapes, and the sharded RL step
+produces identical results to the unsharded one on an 8-device CPU mesh
+(SURVEY.md section 4 anchors 4-5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from learningagileflight_se3_tpu.config import (
+    CostWeights,
+    QuadParams,
+    RewardConfig,
+    SamplerConfig,
+    SolverConfig,
+)
+from learningagileflight_se3_tpu.models.mlp import make_dnn1, make_dnn2, surrogate_inner_loss
+from learningagileflight_se3_tpu.models.sampler import (
+    pretrain_label,
+    sample_scenario,
+    sample_scenarios,
+    scenario_to_problem,
+)
+from learningagileflight_se3_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from learningagileflight_se3_tpu.train.imitation import (
+    make_imitation_collect,
+    make_imitation_train_step,
+)
+from learningagileflight_se3_tpu.train.pretrain import make_pretrain_step
+from learningagileflight_se3_tpu.train.rl import make_rl_train_step
+
+TINY = SolverConfig(horizon=6, max_iters=8)
+PQ, CW, RC, SC = QuadParams(), CostWeights(), RewardConfig(), SamplerConfig()
+
+
+class TestSamplers:
+    def test_scenario_ranges(self):
+        scen = np.asarray(sample_scenarios(jax.random.PRNGKey(0), 2000))
+        # ranges of quad_nn.py:18-48
+        assert scen[:, 0].min() >= -5 and scen[:, 0].max() <= 5
+        assert scen[:, 1].min() >= -14 and scen[:, 1].max() <= -4
+        assert scen[:, 4].min() >= 4 and scen[:, 4].max() <= 8
+        assert np.abs(scen[:, 6]).max() <= 0.1
+        assert scen[:, 7].min() >= 0.5 and scen[:, 7].max() <= 1.25
+        assert np.abs(scen[:, 8]).max() <= np.pi / 2 + 1e-6
+        # pitch-width coupling: |pitch| >= clip(1.3*(1.2-w), 0, pi/3)
+        min_angle = np.clip(1.3 * (1.2 - scen[:, 7]), 0, np.pi / 3)
+        assert np.all(np.abs(scen[:, 8]) >= min_angle - 1e-9)
+        # roughly bimodal: both signs occur
+        assert (scen[:, 8] > 0).mean() > 0.3 and (scen[:, 8] < 0).mean() > 0.3
+
+    def test_pretrain_label(self):
+        scen = jnp.zeros(9).at[0:3].set(jnp.asarray([0.0, -9.0, 0.0]))
+        lab = np.asarray(pretrain_label(scen))
+        # t = clip(round(9/4, 1), 2, 4) = 2.2 — round-half-to-even, matching
+        # Python round() in the reference (quad_nn.py:56)
+        np.testing.assert_allclose(lab, [0, 0, 0, 0, 0, 0, 2.2], atol=1e-9)
+        far = jnp.zeros(9).at[0:3].set(jnp.asarray([20.0, 0.0, 0.0]))
+        assert float(pretrain_label(far)[6]) == 4.0
+
+    def test_scenario_to_problem(self):
+        scen = jnp.asarray([1.0, -8.0, 0.5, 0.0, 6.0, 0.0, 0.1, 1.0, 0.4])
+        prob = scenario_to_problem(scen)
+        assert prob["x0"].shape == (13,)
+        np.testing.assert_allclose(np.asarray(prob["x0"][0:3]), [1, -8, 0.5])
+        np.testing.assert_allclose(
+            np.asarray(prob["x0"][6:10]),
+            [np.cos(0.05), 0, 0, np.sin(0.05)],
+            atol=1e-12,
+        )
+        assert prob["gate_pts"].shape == (4, 3)
+
+
+class TestPretrain:
+    def test_loss_decreases(self):
+        model = make_dnn1()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 9)))
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        step = jax.jit(make_pretrain_step(model, opt), static_argnums=(3,))
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(60):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, k, 64)
+            losses.append(float(loss))
+        assert np.mean(losses[-10:]) < 0.5 * np.mean(losses[:10])
+
+
+class TestRLStep:
+    def _setup(self):
+        model = make_dnn1()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 9)))
+        opt = optax.adam(1e-4)
+        return model, params, opt, opt.init(params)
+
+    def test_unsharded_step_runs(self):
+        model, params, opt, opt_state = self._setup()
+        step = make_rl_train_step(model, opt, PQ, CW, TINY, RC)
+        scen = sample_scenarios(jax.random.PRNGKey(2), 4)
+        p2, os2, mean_r, rewards = step(params, opt_state, scen)
+        assert rewards.shape == (4,)
+        assert np.isfinite(float(mean_r))
+        # params actually changed
+        diff = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.abs(b).sum()),
+            jax.tree_util.tree_map(lambda a, b: a - b, p2, params),
+            0.0,
+        )
+        assert diff > 0
+
+    def test_sharded_matches_unsharded(self):
+        assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+        model, params, opt, opt_state = self._setup()
+        scen = sample_scenarios(jax.random.PRNGKey(3), 8)
+
+        step_u = make_rl_train_step(model, opt, PQ, CW, TINY, RC)
+        pu, _, mru, ru = step_u(params, opt_state, scen)
+
+        mesh = make_mesh(jax.devices()[:8])
+        step_s = make_rl_train_step(model, opt, PQ, CW, TINY, RC, mesh=mesh)
+        ps, _, mrs, rs = step_s(
+            replicate(mesh, params), replicate(mesh, opt_state), shard_batch(mesh, scen)
+        )
+        np.testing.assert_allclose(np.asarray(ru), np.asarray(rs), rtol=1e-10)
+        # params are f32; per-shard summation + psum reorders the reduction,
+        # so allow f32-level noise through the Adam update
+        for a, b in zip(jax.tree_util.tree_leaves(pu), jax.tree_util.tree_leaves(ps)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+    def test_analytic_mode_runs(self):
+        model, params, opt, opt_state = self._setup()
+        step = make_rl_train_step(model, opt, PQ, CW, TINY, RC, grad_mode="analytic")
+        scen = sample_scenarios(jax.random.PRNGKey(4), 2)
+        _, _, mean_r, rewards = step(params, opt_state, scen)
+        assert np.isfinite(float(mean_r))
+
+
+class TestImitation:
+    def test_collect_shapes_and_labels(self):
+        model1 = make_dnn1()
+        p1 = model1.init(jax.random.PRNGKey(0), jnp.zeros((1, 9)))
+        collect = jax.jit(make_imitation_collect(model1, PQ, CW, TINY))
+        scen = sample_scenarios(jax.random.PRNGKey(5), 3)
+        inputs, labels = collect(p1, scen)
+        H = TINY.horizon
+        assert inputs.shape == (3 * H, 18)
+        assert labels.shape == (3 * H, 7)
+        # countdown label: t decreases by 0.1 per step (nn_train_2.py:83)
+        lab0 = np.asarray(labels[:H, 6])
+        np.testing.assert_allclose(np.diff(lab0), -0.1, atol=1e-6)
+        # width/pitch passthrough (nn_train_2.py:79)
+        np.testing.assert_allclose(
+            np.asarray(inputs[:H, 16:18]), np.tile(np.asarray(scen[0, 7:9]), (H, 1)),
+            atol=1e-7,
+        )
+
+    def test_train_step_decreases_loss(self):
+        model1, model2 = make_dnn1(), make_dnn2()
+        p1 = model1.init(jax.random.PRNGKey(0), jnp.zeros((1, 9)))
+        p2 = model2.init(jax.random.PRNGKey(1), jnp.zeros((1, 18)))
+        collect = jax.jit(make_imitation_collect(model1, PQ, CW, TINY))
+        inputs, labels = collect(p1, sample_scenarios(jax.random.PRNGKey(6), 2))
+        opt = optax.adam(1e-3)
+        os2 = opt.init(p2)
+        step = jax.jit(make_imitation_train_step(model2, opt))
+        losses = []
+        for _ in range(50):
+            p2, os2, loss = step(p2, os2, inputs, labels)
+            losses.append(float(loss))
+        assert losses[-1] < 0.5 * losses[0]
+
+
+class TestSurrogateLoss:
+    def test_gradient_is_dp_weighted(self):
+        """grad of <dp, out> w.r.t. params == dp-weighted output Jacobian —
+        the reference's myloss chain rule (quad_nn.py:141-145)."""
+        model = make_dnn1()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 9)))
+        x = jnp.ones((2, 9))
+        dp = jnp.asarray(np.random.default_rng(0).normal(size=(2, 7)))
+
+        g1 = jax.grad(lambda p: surrogate_inner_loss(model.apply(p, x), dp))(params)
+        g2 = jax.grad(lambda p: jnp.sum(model.apply(p, x) * dp))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
