@@ -93,7 +93,7 @@ class SolverConfig:
     reg_init: float = 1.0
     reg_min: float = 1e-8
     reg_max: float = 1e8
-    boxqp_iters: int = 12       # projected-Newton iterations for the 4-dim boxQP
+    boxqp_iters: int = 6        # projected-Newton iterations for the 4-dim boxQP
     line_search_steps: int = 11 # backtracking powers of ~0.5
     quantize_t: bool = True     # round traversal time to 0.1 s (quad_policy.py:70)
 

@@ -6,9 +6,9 @@ backward pass (the TPU-native replacement for IPOPT's handling of the rotor
 thrust bounds [0, 2.44] N, reference quad_policy.py:46-51).
 
 Everything is branch-free and fixed-shape: the active set is a mask, the
-"free-subspace" Newton solve is a full-size solve on a masked matrix, and the
-iteration count is static so the whole thing jits/vmaps cleanly and lowers to
-a handful of 4x4 ops on the VPU.
+"free-subspace" Newton solve is a full-size solve on a masked matrix via the
+unrolled 4x4 Cholesky (solver/chol4.py — pure VPU arithmetic, no XLA LU),
+and the iteration count is static so the whole thing jits/vmaps cleanly.
 """
 
 from __future__ import annotations
@@ -16,39 +16,32 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from learningagileflight_se3_tpu.solver.chol4 import chol4_factor, chol4_solve_factored
 
-def _masked_solve(H, rhs, free):
-    """Solve H_ff x_f = rhs_f on the free subset, x=0 on clamped dims.
 
-    Implemented as a full-size solve of M x = (rhs*free) with
-    M = F H F + (I - F), F = diag(free): exact on the free block, identity on
-    the clamped block."""
-    n = H.shape[0]
+def _masked_matrix(H, free):
+    """F H F + (I - F): exact on the free block, identity on the clamped."""
     F = free[:, None] * free[None, :]
-    M = H * F + jnp.diag(1.0 - free)
-    x = jnp.linalg.solve(M, rhs * free)
-    return x * free
+    return H * F + jnp.diag(1.0 - free)
 
 
-def boxqp(H, g, lo, hi, iters: int = 12):
-    """Returns (d, free_mask, Hff_inv_like) for the box QP.
+def boxqp(H, g, lo, hi, iters: int = 6):
+    """Returns (d, free_mask) for the box QP (see module docstring).
 
     free_mask marks coordinates not clamped at a bound with inward gradient;
-    callers zero the corresponding feedback rows (Tassa et al. 2014 style).
-    """
-    n = g.shape[0]
+    callers zero the corresponding feedback rows (Tassa et al. 2014 style)."""
     d0 = jnp.clip(jnp.zeros_like(g), lo, hi)
+
+    def qobj(x):
+        return 0.5 * x @ (H @ x) + g @ x
 
     def body(_, d):
         grad = g + H @ d
         at_lo = (d <= lo + 1e-12) & (grad > 0)
         at_hi = (d >= hi - 1e-12) & (grad < 0)
         free = 1.0 - (at_lo | at_hi).astype(d.dtype)
-        step = _masked_solve(H, -grad, free)
-
-        # fixed three-point backtracking on the quadratic objective
-        def qobj(x):
-            return 0.5 * x @ (H @ x) + g @ x
+        L, _ = chol4_factor(_masked_matrix(H, free))
+        step = chol4_solve_factored(L, -(grad * free)) * free
 
         cands = jnp.stack(
             [
@@ -61,7 +54,7 @@ def boxqp(H, g, lo, hi, iters: int = 12):
         vals = jax.vmap(qobj)(cands)
         return cands[jnp.argmin(vals)]
 
-    d = jax.lax.fori_loop(0, iters, body, d0)
+    d = jax.lax.fori_loop(0, iters, body, d0, unroll=True)
 
     grad = g + H @ d
     at_lo = (d <= lo + 1e-12) & (grad > 0)

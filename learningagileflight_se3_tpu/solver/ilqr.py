@@ -53,11 +53,18 @@ from learningagileflight_se3_tpu.costs.gate_costs import (
     traversal_cost,
 )
 from learningagileflight_se3_tpu.dynamics.quadrotor import euler_step
+from learningagileflight_se3_tpu.solver.analytic import (
+    DynamicsTaylor,
+    make_cost_quadratics,
+    make_final_quadratics,
+)
 from learningagileflight_se3_tpu.solver.boxqp import boxqp
+from learningagileflight_se3_tpu.solver.chol4 import chol4_factor, chol4_solve_factored
 
 NX = 13  # physical state
 NU = 4   # rotor thrusts
 NZ = NX + NU  # augmented state [x; u_prev]
+NZU = NZ + NU  # concatenated (z, u)
 
 
 class MPCSolution(NamedTuple):
@@ -145,47 +152,41 @@ def make_mpc_solver(
         Z = jnp.concatenate([z0[None], Z], axis=0)
         return Z, c
 
+    dyn_taylor = DynamicsTaylor(params, dt)
+    cost_quadratics = make_cost_quadratics(weights, cfg)
+    final_quadratics = make_final_quadratics(weights)
+
     def derivatives(Z, U, prob):
-        """Per-step linearizations and cost quadratics, vmapped over time."""
+        """All linearizations/quadratics in closed form, batched over time —
+        no per-step autodiff (solver/analytic.py)."""
+        ZU = jnp.concatenate([Z[:-1], U], axis=1)  # (H, 21)
+        A, B = dyn_taylor.jacobians(ZU)
+        lz, lu, lzz, luz, luu = cost_quadratics(
+            Z[:-1], U, prob.t_weights, prob.goal_pos, prob.tra_pos, prob.tra_quat
+        )
+        phi_z, phi_zz = final_quadratics(Z[-1], prob.goal_pos)
+        return A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU
 
-        def one(z, u, wk):
-            zu = jnp.concatenate([z, u])
-
-            def fdyn(zu_):
-                return _aug_dynamics(zu_[:NZ], zu_[NZ:], dt, params)
-
-            def fcost(zu_):
-                return _stage_cost(zu_[:NZ], zu_[NZ:], wk, prob, weights, cfg)
-
-            F = jax.jacfwd(fdyn)(zu)          # (17, 21)
-            grad = jax.grad(fcost)(zu)        # (21,)
-            Hc = jax.hessian(fcost)(zu)       # (21, 21)
-            return (
-                F[:, :NZ], F[:, NZ:],         # A, B
-                grad[:NZ], grad[NZ:],         # lz, lu
-                Hc[:NZ, :NZ], Hc[NZ:, :NZ], Hc[NZ:, NZ:],  # lzz, luz, luu
-            )
-
-        A, B, lz, lu, lzz, luz, luu = jax.vmap(one)(Z[:-1], U, prob.t_weights)
-        zH = Z[-1]
-        phi_z = jax.grad(lambda z: _final_cost(z, prob, weights))(zH)
-        phi_zz = jax.hessian(lambda z: _final_cost(z, prob, weights))(zH)
-        return A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz
-
-    def backward(Z, derivs, U, reg):
-        """Regularized control-limited Riccati sweep (reverse lax.scan).
+    def backward(derivs, U, reg):
+        """Regularized control-limited Riccati sweep (reverse lax.scan) —
+        only light 17x17/4x17 matrix algebra per step; the boxQP and feedback
+        solves use the unrolled 4x4 Cholesky (solver/chol4.py), which also
+        provides the positive-definiteness failure flag.
 
         With cfg.use_ddp (default) the sweep includes the second-order
         dynamics terms Vz . f_zz — full DDP / the exact Hessian of the PDP
-        Hamiltonian (the machinery sketched at reference quad_OC.py:240-252) —
-        which restores quadratic local convergence on this stiffly-weighted
-        attitude cost where plain iLQR (Gauss-Newton) crawls."""
-        A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz = derivs
-        I = jnp.eye(NZ, dtype=phi_zz.dtype)
+        Hamiltonian (the machinery sketched at reference quad_OC.py:240-252).
+        Because the dynamics are an exact cubic, these are contracted from
+        the constant Taylor tensors (two small matmuls per step) instead of a
+        per-step jax.hessian."""
+        A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU = derivs
+        dtype = phi_z.dtype
+        Hf2 = dyn_taylor.hf_flat(dtype)  # (17, 441)
+        Tf2 = dyn_taylor.tf_flat(dtype)  # (17, 9261)
 
         def step(carry, inp):
             Vz, Vzz, dV1, dV2, fail = carry
-            a, b, lz_k, lu_k, lzz_k, luz_k, luu_k, u_k, z_k = inp
+            a, b, lz_k, lu_k, lzz_k, luz_k, luu_k, u_k, zu_k = inp
 
             Qz = lz_k + a.T @ Vz
             Qu = lu_k + b.T @ Vz
@@ -194,15 +195,15 @@ def make_mpc_solver(
             Quu = luu_k + b.T @ Vzz @ b
 
             if cfg.use_ddp:
-                zu_k = jnp.concatenate([z_k, u_k])
-
-                def vdotf(zu_):
-                    return Vz @ _aug_dynamics(zu_[:NZ], zu_[NZ:], dt, params)
-
-                H2 = jax.hessian(vdotf)(zu_k)  # (21, 21)
+                # H2 = hess_zu (Vz . f)(zu_k), exact via Taylor tensors:
+                # (Vz @ Hf2) + (Vz @ Tf2) . zu_k  — MXU-friendly contractions
+                H2 = (Vz @ Hf2).reshape(NZU, NZU) + (
+                    (Vz @ Tf2).reshape(NZU * NZU, NZU) @ zu_k
+                ).reshape(NZU, NZU)
                 Qzz = Qzz + H2[:NZ, :NZ]
                 Quz = Quz + H2[NZ:, :NZ]
                 Quu = Quu + H2[NZ:, NZ:]
+
             # state-regularized variants (Tassa 2012): add reg through B^T B
             Quu_r = Quu + reg * (b.T @ b)
             Quz_r = Quz + reg * (b.T @ a)
@@ -211,21 +212,14 @@ def make_mpc_solver(
             lo = lb - u_k
             hi = ub - u_k
             k_ff, free = boxqp(Quu_r, Qu, lo, hi, iters=cfg.boxqp_iters)
-            # feedback only on free dims: solve masked system, zero clamped rows
+            # feedback only on free dims: masked Cholesky solve, clamped rows 0
             Fm = free[:, None] * free[None, :]
             M = Quu_r * Fm + jnp.diag(1.0 - free)
-            K = -jnp.linalg.solve(M, Quz_r * free[:, None]) * free[:, None]
+            L, ok = chol4_factor(M)
+            K = -chol4_solve_factored(L, Quz_r * free[:, None]) * free[:, None]
+            fail = fail | ~ok
 
-            # chol-failure guard: Quu_r must be PD on the free subspace
-            eigs_ok = jnp.linalg.eigvalsh(M).min() > 0
-            fail = fail | ~eigs_ok
-
-            Vz_n = (
-                Qz
-                + K.T @ (Quu @ k_ff)
-                + K.T @ Qu
-                + Quz.T @ k_ff
-            )
+            Vz_n = Qz + K.T @ (Quu @ k_ff) + K.T @ Qu + Quz.T @ k_ff
             Vzz_n = Qzz + K.T @ Quu @ K + K.T @ Quz + Quz.T @ K
             Vzz_n = 0.5 * (Vzz_n + Vzz_n.T)
             dV1 = dV1 + k_ff @ Qu
@@ -239,7 +233,7 @@ def make_mpc_solver(
         zero = phi_z[0] * 0.0
         init = (phi_z, phi_zz, zero, zero, zero > 1.0)
         (Vz, Vzz, dV1, dV2, fail), (kk, KK, pgs) = jax.lax.scan(
-            step, init, (A, B, lz, lu, lzz, luz, luu, U, Z[:-1]), reverse=True
+            step, init, (A, B, lz, lu, lzz, luz, luu, U, ZU), reverse=True
         )
         return kk, KK, dV1, dV2, fail, jnp.max(pgs)
 
@@ -297,13 +291,19 @@ def make_mpc_solver(
         def body(state):
             Z, U, J, KK, reg, done, it, _ = state
             derivs = derivatives(Z, U, prob)
-            kk, KK_new, dV1, dV2, fail, pg = backward(Z, derivs, U, reg)
+            kk, KK_new, dV1, dV2, fail, pg = backward(derivs, U, reg)
 
             # Newton-decrement termination: the model predicts at most
             # -(dV1 + dV2) decrease at a full step — when that is below
-            # tolerance the iterate is (numerically) optimal.
+            # tolerance the iterate is (numerically) optimal.  Only valid at
+            # LOW regularization: large reg shrinks the step (and decrement)
+            # artificially, which must not read as optimality.
             decrement = -(dV1 + dV2)
-            stationary = (decrement <= cfg.tol * (jnp.abs(J) + 1.0)) & (dV1 <= 0)
+            stationary = (
+                (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
+                & (dV1 <= 0)
+                & (reg <= 1.0)
+            )
 
             def try_alpha(alpha):
                 Zn, Un, Jn = forward(Z, U, kk, KK_new, prob, alpha)
