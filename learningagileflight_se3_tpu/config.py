@@ -94,7 +94,7 @@ class SolverConfig:
     reg_min: float = 1e-8
     reg_max: float = 1e8
     boxqp_iters: int = 6        # projected-Newton iterations for the 4-dim boxQP
-    line_search_steps: int = 11 # backtracking powers of ~0.5
+    line_search_steps: int = 14 # backtracking powers of 0.5 (min alpha ~1.2e-4)
     quantize_t: bool = True     # round traversal time to 0.1 s (quad_policy.py:70)
 
     @property

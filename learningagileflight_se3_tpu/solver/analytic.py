@@ -257,3 +257,178 @@ class DynamicsTaylor:
         return jnp.einsum("hi,iab->hab", Lam, Hf) + jnp.einsum(
             "hi,iabc,hc->hab", Lam, Tf, ZU
         )
+
+
+# ---------------------------------------------------------------------------
+# Explicit sparse closed forms (faster than the dense Taylor contractions:
+# Tf has ~0.1% nonzeros, so the einsum path wastes almost all its FLOPs).
+# Validated against the Taylor/autodiff path in tests/test_analytic.py.
+# ---------------------------------------------------------------------------
+
+def explicit_jacobians(ZU, params: QuadParams, dt: float):
+    """ZU (H,21) -> (A (H,17,17), B (H,17,4)), exact, closed form.
+
+    Hand-derived from the ODE (quad_model.py:106-119); see the block comments
+    for each term. Vectorized over the leading axis."""
+    dtype = ZU.dtype
+    Hn = ZU.shape[0]
+    w0, x0_, y0, z0_ = ZU[:, 6], ZU[:, 7], ZU[:, 8], ZU[:, 9]
+    om = ZU[:, 10:13]
+    u = ZU[:, NZ:]
+    T = jnp.sum(u, axis=1)  # total thrust
+    m = params.mass
+    Jd = jnp.asarray([params.Jx, params.Jy, params.Jz], dtype)
+
+    A = jnp.zeros((Hn, NZ, NZ), dtype)
+    A = A + jnp.eye(NZ, dtype=dtype).at[13:, 13:].set(0.0)[None]
+
+    # dr/dv
+    A = A.at[:, 0:3, 3:6].add(dt * jnp.eye(3, dtype=dtype)[None])
+
+    # dv/dq: dt*(T/m) * D(q), rows of d c(q)/dq with c = third row of C_B_I
+    s = dt * T / m
+    D = jnp.stack(
+        [
+            jnp.stack([2 * y0, 2 * z0_, 2 * w0, 2 * x0_], axis=1),
+            jnp.stack([-2 * x0_, -2 * w0, 2 * z0_, 2 * y0], axis=1),
+            jnp.stack([jnp.zeros_like(x0_), -4 * x0_, -4 * y0, jnp.zeros_like(x0_)], axis=1),
+        ],
+        axis=1,
+    )  # (H,3,4)
+    A = A.at[:, 3:6, 6:10].add(s[:, None, None] * D)
+
+    # dq/dq: dt * 0.5 * Omega(omega)
+    zer = jnp.zeros_like(w0)
+    Om = jnp.stack(
+        [
+            jnp.stack([zer, -om[:, 0], -om[:, 1], -om[:, 2]], axis=1),
+            jnp.stack([om[:, 0], zer, om[:, 2], -om[:, 1]], axis=1),
+            jnp.stack([om[:, 1], -om[:, 2], zer, om[:, 0]], axis=1),
+            jnp.stack([om[:, 2], om[:, 1], -om[:, 0], zer], axis=1),
+        ],
+        axis=1,
+    )
+    A = A.at[:, 6:10, 6:10].add(0.5 * dt * Om)
+
+    # dq/dom: dt * 0.5 * G(q)
+    G = jnp.stack(
+        [
+            jnp.stack([-x0_, -y0, -z0_], axis=1),
+            jnp.stack([w0, -z0_, y0], axis=1),
+            jnp.stack([z0_, w0, -x0_], axis=1),
+            jnp.stack([-y0, x0_, w0], axis=1),
+        ],
+        axis=1,
+    )
+    A = A.at[:, 6:10, 10:13].add(0.5 * dt * G)
+
+    # dom/dom: dt * (-J^-1) * ([om]x J - [J om]x)
+    # W = [om]x @ diag(J) - [J om]x  (derivative of om x J om)
+    Jw = om * Jd[None, :]
+    ox, oy, oz = om[:, 0], om[:, 1], om[:, 2]
+    Jx_, Jy_, Jz_ = Jd[0], Jd[1], Jd[2]
+    W = jnp.stack(
+        [
+            jnp.stack([zer, -Jy_ * oz + Jw[:, 2], Jz_ * oy - Jw[:, 1]], axis=1),
+            jnp.stack([Jx_ * oz - Jw[:, 2], zer, -Jz_ * ox + Jw[:, 0]], axis=1),
+            jnp.stack([-Jx_ * oy + Jw[:, 1], Jy_ * ox - Jw[:, 0], zer], axis=1),
+        ],
+        axis=1,
+    )
+    A = A.at[:, 10:13, 10:13].add(-dt * W / Jd[None, :, None])
+
+    # B: dv/du = dt*c(q)/m per column; dom/du = dt*J^-1*mixer; u_prev rows = I
+    c1 = 2 * (x0_ * z0_ + w0 * y0)
+    c2 = 2 * (y0 * z0_ - w0 * x0_)
+    c3 = 1 - 2 * (x0_ * x0_ + y0 * y0)
+    cvec = jnp.stack([c1, c2, c3], axis=1)  # (H,3)
+    B = jnp.zeros((Hn, NZ, NU), dtype)
+    B = B.at[:, 3:6, :].set((dt / m) * cvec[:, :, None] * jnp.ones((1, 1, NU), dtype))
+    l2 = params.l / 2.0
+    cc = params.c
+    mix = jnp.asarray(
+        [[0.0, -l2, 0.0, l2], [-l2, 0.0, l2, 0.0], [cc, -cc, cc, -cc]], dtype
+    )
+    B = B.at[:, 10:13, :].set(dt * (mix / Jd[:, None])[None])
+    B = B.at[:, 13:17, :].set(jnp.eye(NU, dtype=dtype)[None])
+    return A, B
+
+
+def explicit_h2(zu, lam, params: QuadParams, dt: float):
+    """Single-step hess_zu(lam . f_aug)(zu): exact sparse closed form.
+
+    Nonzero blocks (x dt):
+      (q,q):   (T/m) sum_i lam_v[i] * S_i   (constant S_i from c(q))
+      (q,u):   (1/m) D(q)^T lam_v, identical for each rotor column
+      (q,om):  0.5 * d(G(q)^T lam_q)/dq
+      (om,om): -sum_i (lam_om/J)_i * hess(om x J om)_i
+    """
+    dtype = zu.dtype
+    m = params.mass
+    Jd = jnp.asarray([params.Jx, params.Jy, params.Jz], dtype)
+    q = zu[6:10]
+    lv = lam[3:6]
+    lq = lam[6:10]
+    lw = lam[10:13]
+    u = zu[NZ:]
+    T = jnp.sum(u)
+
+    H2 = jnp.zeros((NZU, NZU), dtype)
+
+    # (q,q): (T/m) * (lv1*S1 + lv2*S2 + lv3*S3)
+    z = jnp.zeros((), dtype)
+    a = lv[0]
+    b = lv[1]
+    c_ = lv[2]
+    # S1: c1=2(xz+wy): sym(w,y)=2, sym(x,z)=2
+    # S2: c2=2(yz-wx): sym(w,x)=-2, sym(y,z)=2
+    # S3: c3=1-2(x^2+y^2): diag(0,-4,-4,0)
+    Sqq = jnp.array(
+        [
+            [z, -2 * b, 2 * a, z],
+            [-2 * b, -4 * c_, z, 2 * a],
+            [2 * a, z, -4 * c_, 2 * b],
+            [z, 2 * a, 2 * b, z],
+        ]
+    )
+    H2 = H2.at[6:10, 6:10].add(dt * (T / m) * Sqq)
+
+    # (q, u_j): h = (1/m) D(q)^T lv for every column j
+    w0, x0_, y0, z0_ = q[0], q[1], q[2], q[3]
+    Dq = jnp.array(
+        [
+            [2 * y0, 2 * z0_, 2 * w0, 2 * x0_],
+            [-2 * x0_, -2 * w0, 2 * z0_, 2 * y0],
+            [z, -4 * x0_, -4 * y0, z],
+        ]
+    )
+    h = (dt / m) * (Dq.T @ lv)  # (4,)
+    H2 = H2.at[6:10, NZ:].add(h[:, None] * jnp.ones((1, NU), dtype))
+    H2 = H2.at[NZ:, 6:10].add(h[None, :] * jnp.ones((NU, 1), dtype))
+
+    # (q, om): 0.5 * dt * P with columns grad_q (G^T lq)_b
+    P = jnp.array(
+        [
+            [lq[1], lq[2], lq[3]],
+            [-lq[0], lq[3], -lq[2]],
+            [-lq[3], -lq[0], lq[1]],
+            [lq[2], -lq[1], -lq[0]],
+        ]
+    )
+    H2 = H2.at[6:10, 10:13].add(0.5 * dt * P)
+    H2 = H2.at[10:13, 6:10].add(0.5 * dt * P.T)
+
+    # (om, om): -(lw/J)-weighted hessians of (om x J om)
+    mu = lw / Jd
+    d1 = (Jd[2] - Jd[1]) * mu[0]
+    d2 = (Jd[0] - Jd[2]) * mu[1]
+    d3 = (Jd[1] - Jd[0]) * mu[2]
+    Sww = jnp.array(
+        [
+            [z, d3, d2],
+            [d3, z, d1],
+            [d2, d1, z],
+        ]
+    )
+    H2 = H2.at[10:13, 10:13].add(-dt * Sww)
+    return H2

@@ -32,6 +32,11 @@ from learningagileflight_se3_tpu.config import CostWeights, QuadParams, SolverCo
 from learningagileflight_se3_tpu.core.rotations import rodrigues_to_quat
 from learningagileflight_se3_tpu.costs.gate_costs import total_trajectory_cost
 from learningagileflight_se3_tpu.dynamics.quadrotor import rollout
+from learningagileflight_se3_tpu.solver.analytic import (
+    DynamicsTaylor,
+    make_cost_quadratics,
+    make_final_quadratics,
+)
 from learningagileflight_se3_tpu.solver.ilqr import (
     NU,
     NX,
@@ -71,6 +76,9 @@ def make_differentiable_control_solver(
     cfg = dataclasses.replace(cfg, quantize_t=False)
     solve = make_mpc_solver(params, weights, cfg, return_gains=False)
     H, dt = cfg.horizon, cfg.dt
+    dyn_taylor = DynamicsTaylor(params, dt)
+    cost_quadratics = make_cost_quadratics(weights, cfg)
+    final_quadratics = make_final_quadratics(weights)
 
     def _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t):
         sol = solve(x0, u_last, goal, tra_pos, tra_ang, t)
@@ -108,24 +116,13 @@ def make_differentiable_control_solver(
         zH, Zrest = jax.lax.scan(roll, prob.z0, U)
         Z = jnp.concatenate([prob.z0[None], Zrest], axis=0)
 
-        # per-step linearizations + cost quadratics
-        def one(z, u, wk):
-            zu = jnp.concatenate([z, u])
-
-            def fdyn(zu_):
-                return _aug_dynamics(zu_[:NZ], zu_[NZ:], dt, params)
-
-            def fcost(zu_):
-                return _stage_cost(zu_[:NZ], zu_[NZ:], wk, prob, weights, cfg)
-
-            F = jax.jacfwd(fdyn)(zu)
-            gradc = jax.grad(fcost)(zu)
-            Hc = jax.hessian(fcost)(zu)
-            return F[:, :NZ], F[:, NZ:], gradc[:NZ], Hc[:NZ, :NZ], Hc[NZ:, :NZ], Hc[NZ:, NZ:]
-
-        A, B, lz, lzz, luz, luu = jax.vmap(one)(Z[:-1], U, t_weights)
-        phi_z = jax.grad(lambda z: _final_cost(z, prob, weights))(Z[H])
-        phi_zz = jax.hessian(lambda z: _final_cost(z, prob, weights))(Z[H])
+        # closed-form linearizations + cost quadratics (solver/analytic.py)
+        ZU = jnp.concatenate([Z[:-1], U], axis=1)
+        A, B = dyn_taylor.jacobians(ZU)
+        lz, _lu, lzz, luz, luu = cost_quadratics(
+            Z[:-1], U, t_weights, goal, tra_pos, tra_quat
+        )
+        phi_z, phi_zz = final_quadratics(Z[H], goal)
 
         # adjoint (costate) pass: lam_k = lz_k + A_k^T lam_{k+1}
         def adj(lam, inp):
@@ -136,16 +133,9 @@ def make_differentiable_control_solver(
         _, lam_next = jax.lax.scan(adj, phi_z, (A, lz), reverse=True)
         # lam_next[k] is the costate entering the 2nd-order dynamics term at k
 
-        # Hamiltonian second-order dynamics terms (DDP / exact Newton)
-        def h2(z, u, lam):
-            zu = jnp.concatenate([z, u])
-
-            def vdotf(zu_):
-                return lam @ _aug_dynamics(zu_[:NZ], zu_[NZ:], dt, params)
-
-            return jax.hessian(vdotf)(zu)
-
-        H2 = jax.vmap(h2)(Z[:-1], U, lam_next)
+        # Hamiltonian second-order dynamics terms (exact Newton / Lagrangian
+        # Hessian), contracted from the constant Taylor tensors
+        H2 = dyn_taylor.hamiltonian_hessians(ZU, lam_next)
         lzz = lzz + H2[:, :NZ, :NZ]
         luz = luz + H2[:, NZ:, :NZ]
         luu = luu + H2[:, NZ:, NZ:]

@@ -54,7 +54,8 @@ from learningagileflight_se3_tpu.costs.gate_costs import (
 )
 from learningagileflight_se3_tpu.dynamics.quadrotor import euler_step
 from learningagileflight_se3_tpu.solver.analytic import (
-    DynamicsTaylor,
+    explicit_h2,
+    explicit_jacobians,
     make_cost_quadratics,
     make_final_quadratics,
 )
@@ -152,7 +153,6 @@ def make_mpc_solver(
         Z = jnp.concatenate([z0[None], Z], axis=0)
         return Z, c
 
-    dyn_taylor = DynamicsTaylor(params, dt)
     cost_quadratics = make_cost_quadratics(weights, cfg)
     final_quadratics = make_final_quadratics(weights)
 
@@ -160,12 +160,27 @@ def make_mpc_solver(
         """All linearizations/quadratics in closed form, batched over time —
         no per-step autodiff (solver/analytic.py)."""
         ZU = jnp.concatenate([Z[:-1], U], axis=1)  # (H, 21)
-        A, B = dyn_taylor.jacobians(ZU)
+        A, B = explicit_jacobians(ZU, params, dt)
         lz, lu, lzz, luz, luu = cost_quadratics(
             Z[:-1], U, prob.t_weights, prob.goal_pos, prob.tra_pos, prob.tra_quat
         )
         phi_z, phi_zz = final_quadratics(Z[-1], prob.goal_pos)
-        return A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU
+
+        # TRUE projected gradient via the adjoint: g_u = lu + B^T lam_{k+1}.
+        # This is the KKT residual the convergence test must use — the
+        # backward sweep's expected decrease can vanish spuriously when the
+        # value recursion stiffens (huge attitude curvature), which is not
+        # optimality.
+        def adj(lam, inp):
+            a, lz_k = inp
+            return lz_k + a.T @ lam, lam
+
+        _, lam_next = jax.lax.scan(adj, phi_z, (A, lz), reverse=True)
+        gu = lu + jnp.einsum("hia,hi->ha", B, lam_next)
+        eps_b = 1e-7 * (ub - lb)
+        free_u = ~(((U <= lb + eps_b) & (gu > 0)) | ((U >= ub - eps_b) & (gu < 0)))
+        pg_true = jnp.max(jnp.abs(gu) * free_u)
+        return A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU, pg_true
 
     def backward(derivs, U, reg):
         """Regularized control-limited Riccati sweep (reverse lax.scan) —
@@ -179,10 +194,7 @@ def make_mpc_solver(
         Because the dynamics are an exact cubic, these are contracted from
         the constant Taylor tensors (two small matmuls per step) instead of a
         per-step jax.hessian."""
-        A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU = derivs
-        dtype = phi_z.dtype
-        Hf2 = dyn_taylor.hf_flat(dtype)  # (17, 441)
-        Tf2 = dyn_taylor.tf_flat(dtype)  # (17, 9261)
+        A, B, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU, pg_true = derivs
 
         def step(carry, inp):
             Vz, Vzz, dV1, dV2, fail = carry
@@ -195,11 +207,9 @@ def make_mpc_solver(
             Quu = luu_k + b.T @ Vzz @ b
 
             if cfg.use_ddp:
-                # H2 = hess_zu (Vz . f)(zu_k), exact via Taylor tensors:
-                # (Vz @ Hf2) + (Vz @ Tf2) . zu_k  — MXU-friendly contractions
-                H2 = (Vz @ Hf2).reshape(NZU, NZU) + (
-                    (Vz @ Tf2).reshape(NZU * NZU, NZU) @ zu_k
-                ).reshape(NZU, NZU)
+                # H2 = hess_zu (Vz . f)(zu_k): exact sparse closed form
+                # (solver/analytic.py explicit_h2) — ~30 scalar-vector ops
+                H2 = explicit_h2(zu_k, Vz, params, dt)
                 Qzz = Qzz + H2[:NZ, :NZ]
                 Quz = Quz + H2[NZ:, :NZ]
                 Quu = Quu + H2[NZ:, NZ:]
@@ -224,18 +234,16 @@ def make_mpc_solver(
             Vzz_n = 0.5 * (Vzz_n + Vzz_n.T)
             dV1 = dV1 + k_ff @ Qu
             dV2 = dV2 + 0.5 * k_ff @ (Quu @ k_ff)
-            # projected KKT residual: |Qu| on dims not clamped at a bound
-            pg = jnp.max(jnp.abs(Qu) * free)
-            return (Vz_n, Vzz_n, dV1, dV2, fail), (k_ff, K, pg)
+            return (Vz_n, Vzz_n, dV1, dV2, fail), (k_ff, K)
 
         # derive scalar inits from varying values so the scan carry keeps
         # consistent manual axes under shard_map
         zero = phi_z[0] * 0.0
         init = (phi_z, phi_zz, zero, zero, zero > 1.0)
-        (Vz, Vzz, dV1, dV2, fail), (kk, KK, pgs) = jax.lax.scan(
+        (Vz, Vzz, dV1, dV2, fail), (kk, KK) = jax.lax.scan(
             step, init, (A, B, lz, lu, lzz, luz, luu, U, ZU), reverse=True
         )
-        return kk, KK, dV1, dV2, fail, jnp.max(pgs)
+        return kk, KK, dV1, dV2, fail, pg_true
 
     def forward(Z, U, kk, KK, prob, alpha):
         """Closed-loop rollout with clipped controls."""
@@ -299,10 +307,14 @@ def make_mpc_solver(
             # LOW regularization: large reg shrinks the step (and decrement)
             # artificially, which must not read as optimality.
             decrement = -(dV1 + dV2)
+            # optimal iff the TRUE projected gradient is small; the model
+            # decrement alone can vanish spuriously (stiff value recursion)
+            grad_small = pg <= cfg.gtol * (jnp.abs(J) + 1.0)
             stationary = (
                 (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
                 & (dV1 <= 0)
-                & (reg <= 1.0)
+                & grad_small
+                & ~fail
             )
 
             def try_alpha(alpha):
@@ -319,20 +331,32 @@ def make_mpc_solver(
             first_ok = jnp.argmax(ok)  # alphas are ordered large -> small
             best = jnp.where(any_ok, first_ok, jnp.argmin(Js))
             J_best = Js[best]
-            improved = ((J_best < J) & any_ok) & ~fail & ~stationary
+            # `active`: under vmap the while_loop runs until ALL lanes finish,
+            # so finished lanes (done OR at the iteration cap) must be strict
+            # no-ops for batched == single
+            active = ~done & (it < cfg.max_iters)
+            improved = ((J_best < J) & any_ok) & ~fail & ~stationary & active
 
             Z_n = jnp.where(improved, Zs[best], Z)
             U_n = jnp.where(improved, Us[best], U)
-            KK_n = jnp.where(improved | stationary, KK_new, KK)
+            KK_n = jnp.where(improved | (stationary & active), KK_new, KK)
             J_n = jnp.where(improved, J_best, J)
 
             reg_n = jnp.where(
-                improved,
-                jnp.maximum(reg * 0.5, cfg.reg_min),
-                jnp.minimum(reg * 8.0, cfg.reg_max * 2.0),
+                active,
+                jnp.where(
+                    improved,
+                    jnp.maximum(reg * 0.5, cfg.reg_min),
+                    jnp.minimum(reg * 8.0, cfg.reg_max * 2.0),
+                ),
+                reg,
             )
-            done_n = stationary | (~improved & ~stationary & (reg > cfg.reg_max))
-            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it + 1, pg)
+            done_n = done | (
+                active
+                & (stationary | (~improved & ~stationary & (reg > cfg.reg_max)))
+            )
+            it_n = it + active.astype(it.dtype)
+            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg)
 
         # shard_map-safe inits: derive from the (possibly axis-varying) J0
         reg0 = J0 * 0.0 + cfg.reg_init

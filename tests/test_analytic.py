@@ -131,3 +131,28 @@ class TestCostQuadratics:
         Hx = np.asarray(jax.hessian(lambda z: M._final_cost(z, prob, weights))(zH))
         np.testing.assert_allclose(np.asarray(pz), g, atol=1e-10)
         np.testing.assert_allclose(np.asarray(pzz), Hx, atol=1e-10)
+
+
+class TestExplicitForms:
+    """The sparse closed-form Jacobians/H2 must equal the dense Taylor path."""
+
+    def test_explicit_jacobians(self, rng):
+        from learningagileflight_se3_tpu.solver.analytic import explicit_jacobians
+
+        dyn = DynamicsTaylor(PQ, DT)
+        ZU = jnp.asarray(rand_zu(rng, 10))
+        A1, B1 = dyn.jacobians(ZU)
+        A2, B2 = explicit_jacobians(ZU, PQ, DT)
+        np.testing.assert_allclose(np.asarray(A2), np.asarray(A1), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(B2), np.asarray(B1), atol=1e-10)
+
+    def test_explicit_h2(self, rng):
+        from learningagileflight_se3_tpu.solver.analytic import explicit_h2
+
+        dyn = DynamicsTaylor(PQ, DT)
+        ZU = jnp.asarray(rand_zu(rng, 6))
+        Lam = jnp.asarray(rng.normal(size=(6, NZ)))
+        H2d = dyn.hamiltonian_hessians(ZU, Lam)
+        for h in range(6):
+            H2e = explicit_h2(ZU[h], Lam[h], PQ, DT)
+            np.testing.assert_allclose(np.asarray(H2e), np.asarray(H2d[h]), atol=1e-10)

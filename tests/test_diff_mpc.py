@@ -117,15 +117,18 @@ class TestFDGradient:
 
     def test_matches_manual_probes(self):
         """FD gradient equals hand-computed probe differences through the
-        plain objective."""
-        cfg = SolverConfig(horizon=10, max_iters=80)
+        plain objective.  max_iters generous so every probe converges —
+        unconverged solves may differ in fp noise between the vmapped probe
+        batch and single solves."""
+        cfg = SolverConfig(horizon=10, max_iters=150)
         rcfg = RewardConfig()
         gcfg = LearnedGradConfig()
         objective = jax.jit(
             lambda *a: make_objective(PARAMS, WEIGHTS, cfg, rcfg)(*a).reward
         )
         fd = jax.jit(make_fd_gradient(PARAMS, WEIGHTS, cfg, rcfg, gcfg))
-        x0, u_last, goal, tra_pos, tra_ang, t = scenario()
+        x0, u_last, goal, tra_pos, tra_ang, _ = scenario()
+        t = 2.5  # mild traversal time: all probe solves converge
         gate_pts = rotate_y(gate_from_width(jnp.asarray(0.9)), jnp.asarray(0.4))
         a = [jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal), gate_pts]
 

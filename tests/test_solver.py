@@ -152,7 +152,10 @@ class TestSolverVsOracle:
 
 class TestBatchedSolver:
     def test_batched_matches_single(self, rng):
-        cfg = SolverConfig(horizon=10, max_iters=60)
+        # scenarios chosen so every lane converges: on unconverged stiff
+        # problems, vmapped vs single fp reassociation may amplify over
+        # many iterations, which is not a control-flow discrepancy
+        cfg = SolverConfig(horizon=10, max_iters=100)
         B = 3
         x0 = np.zeros((B, 13))
         x0[:, 0:3] = rng.uniform(-1, 1, size=(B, 3)) + [0, -8, 0]
@@ -161,7 +164,7 @@ class TestBatchedSolver:
         goal = rng.uniform(-1, 1, size=(B, 3)) + [0, 6, 0]
         tra_pos = rng.uniform(-0.3, 0.3, size=(B, 3))
         tra_ang = rng.normal(size=(B, 3)) * 0.2
-        t = np.array([1.0, 1.3, 0.8])
+        t = np.array([2.0, 2.3, 1.8])
 
         bsolve = jax.jit(make_batched_mpc_solver(PARAMS, WEIGHTS, cfg))
         bsol = bsolve(
@@ -174,10 +177,11 @@ class TestBatchedSolver:
                 jnp.asarray(x0[i]), jnp.asarray(u_last[i]), jnp.asarray(goal[i]),
                 jnp.asarray(tra_pos[i]), jnp.asarray(tra_ang[i]), jnp.asarray(t[i]),
             )
-            # batched while_loop runs the union of iterations; converged
-            # problems no-op, so results agree to solver tolerance
+            assert bool(si.converged), f"lane {i} did not converge"
+            # batched while_loop runs the union of iterations; finished lanes
+            # are strict no-ops, so converged results agree to fp noise
             np.testing.assert_allclose(
                 np.asarray(bsol.control_traj[i]),
                 np.asarray(si.control_traj),
-                atol=5e-5,
+                atol=1e-9,
             )
