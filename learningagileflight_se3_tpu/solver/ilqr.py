@@ -265,6 +265,40 @@ def make_mpc_solver(
         Zn = jnp.concatenate([z0[None], Zn], axis=0)
         return Zn, Un, c
 
+    def line_search(Z, U, J, kk, KK, prob, dV1, dV2):
+        """Sequential first-acceptable-alpha backtracking (Armijo ratio>0.1).
+
+        A while_loop trying one alpha at a time: the typical accepted step is
+        alpha in {1, 0.5}, so this does 1-2 rollouts instead of the
+        line_search_steps rollouts a vmapped grid costs.  Under vmap each
+        lane tracks its own alpha index; accepted lanes no-op."""
+        n_alpha = cfg.line_search_steps
+        tiny = jnp.asarray(1e-300 if J.dtype == jnp.float64 else 1e-30, J.dtype)
+
+        def cond(st):
+            accepted, i, _, _, _ = st
+            return (~accepted) & (i < n_alpha)
+
+        def body(st):
+            accepted, i, Zb, Ub, Jb = st
+            alpha = alphas.astype(J.dtype)[jnp.minimum(i, n_alpha - 1)]
+            Zn, Un, Jn = forward(Z, U, kk, KK, prob, alpha)
+            expected = -(alpha * dV1 + alpha * alpha * dV2)
+            ok = (
+                (Jn < J)
+                & (expected > 0)
+                & ((J - Jn) / jnp.maximum(expected, tiny) > 0.1)
+                & ~accepted
+            )
+            Zb = jnp.where(ok, Zn, Zb)
+            Ub = jnp.where(ok, Un, Ub)
+            Jb = jnp.where(ok, Jn, Jb)
+            return (accepted | ok, i + 1, Zb, Ub, Jb)
+
+        st0 = (J != J, jnp.zeros((), jnp.int32) + (J * 0).astype(jnp.int32), Z, U, J)
+        accepted, _, Zb, Ub, Jb = jax.lax.while_loop(cond, body, st0)
+        return accepted, Zb, Ub, Jb
+
     def solve(x0, u_last, goal_pos, tra_pos, tra_ang, t, U_init: Optional[jnp.ndarray] = None):
         dtype = jnp.result_type(x0.dtype, jnp.float32)
         x0 = x0.astype(dtype)
@@ -317,30 +351,17 @@ def make_mpc_solver(
                 & ~fail
             )
 
-            def try_alpha(alpha):
-                Zn, Un, Jn = forward(Z, U, kk, KK_new, prob, alpha)
-                return Zn, Un, Jn
-
-            Zs, Us, Js = jax.vmap(try_alpha)(alphas)
-            # Armijo-style acceptance: actual/expected decrease ratio > c
-            expected = -(alphas * dV1 + alphas**2 * dV2)
-            ratios = (J - Js) / jnp.maximum(expected, 1e-300)
-            ok = (ratios > 0.1) & (Js < J) & (expected > 0)
-            # pick the largest acceptable alpha; fall back to best raw decrease
-            any_ok = jnp.any(ok)
-            first_ok = jnp.argmax(ok)  # alphas are ordered large -> small
-            best = jnp.where(any_ok, first_ok, jnp.argmin(Js))
-            J_best = Js[best]
+            accepted, Z_ls, U_ls, J_ls = line_search(Z, U, J, kk, KK_new, prob, dV1, dV2)
             # `active`: under vmap the while_loop runs until ALL lanes finish,
             # so finished lanes (done OR at the iteration cap) must be strict
             # no-ops for batched == single
             active = ~done & (it < cfg.max_iters)
-            improved = ((J_best < J) & any_ok) & ~fail & ~stationary & active
+            improved = accepted & ~fail & ~stationary & active
 
-            Z_n = jnp.where(improved, Zs[best], Z)
-            U_n = jnp.where(improved, Us[best], U)
+            Z_n = jnp.where(improved, Z_ls, Z)
+            U_n = jnp.where(improved, U_ls, U)
             KK_n = jnp.where(improved | (stationary & active), KK_new, KK)
-            J_n = jnp.where(improved, J_best, J)
+            J_n = jnp.where(improved, J_ls, J)
 
             reg_n = jnp.where(
                 active,
