@@ -3,3 +3,7 @@ from learningagileflight_se3_tpu.sim.closed_loop import (
     ClosedLoopLog,
     make_closed_loop_sim,
 )
+from learningagileflight_se3_tpu.sim.external_controller import (
+    ExternalSimController,
+    euler_rates_to_body,
+)

@@ -98,3 +98,72 @@ class TestClosedLoop:
         for i in range(15):
             expected = np_euler_step(states[i], controls[i + 1], 0.01, p)
             np.testing.assert_allclose(states[i + 1], expected, atol=1e-8)
+
+
+class TestExternalController:
+    def test_compute_control_loop(self):
+        """ExternalSimController drives the native f64 plant for a few
+        control periods (the PyBullet-harness role) and produces in-range
+        thrust/torque commands."""
+        from scipy.spatial.transform import Rotation as R
+
+        from learningagileflight_se3_tpu.geometry.gate import gate_from_width, rotate_y as ry
+        from learningagileflight_se3_tpu.sim.external_controller import ExternalSimController
+
+        model2, params2 = _dnn2_with_params(jax.random.PRNGKey(7))
+        gate0 = np.asarray(ry(gate_from_width(jnp.asarray(1.0)), jnp.asarray(0.3)))
+        velo = np.array([0.5, 0.2, 0.1])
+
+        def gate_motion(step):
+            pts = np.asarray(ry(jnp.asarray(gate0) + 0.01 * step * velo, jnp.asarray(0.0)))
+            return pts, velo
+
+        cfg = SolverConfig(horizon=8, max_iters=10)
+        ctrl = ExternalSimController(
+            model2, params2, final_point=[0.0, 6.0, 0.0],
+            gate_motion=gate_motion, w_rot=np.pi / 2, solver_cfg=cfg,
+        )
+        # drive a plain world-frame state forward with the JAX plant
+        from learningagileflight_se3_tpu.dynamics.quadrotor import euler_step
+
+        state = np.zeros(13)
+        state[0:3] = [0.0, -6.0, 0.0]
+        state[6] = 1.0
+        p = QuadParams()
+        for step in range(3):
+            quat_wxyz = state[6:10] / np.linalg.norm(state[6:10])
+            quat_xyzw = quat_wxyz[[1, 2, 3, 0]]
+            rpy = R.from_quat(quat_xyzw).as_euler("xyz")
+            cmd, t = ctrl.compute_control(
+                step, state[0:3], quat_xyzw, state[3:6],
+                cur_euler_rates=np.zeros(3), cur_rpy=rpy,
+            )
+            assert cmd.shape == (4,)
+            assert np.isfinite(cmd).all() and np.isfinite(t)
+            # total thrust within 4x rotor bound
+            assert 0.0 <= cmd[0] <= 4 * ctrl.solver_cfg.u_ub + 1e-9
+            u = ctrl.u
+            state = np.asarray(euler_step(jnp.asarray(state), jnp.asarray(u), 0.1, p))
+
+    def test_euler_rates_identity_at_zero(self):
+        from learningagileflight_se3_tpu.sim.external_controller import euler_rates_to_body
+
+        out = euler_rates_to_body([0.1, -0.2, 0.3], [0.0, 0.0, 0.0])
+        np.testing.assert_allclose(out, [0.1, -0.2, 0.3], atol=1e-12)
+
+
+class TestPlotting:
+    def test_plots_and_positions(self, tmp_path):
+        from learningagileflight_se3_tpu.sim import plotting
+
+        T = 20
+        states = np.zeros((T, 13))
+        states[:, 6] = 1.0
+        states[:, 1] = np.linspace(-3, 3, T)
+        controls = np.random.default_rng(0).uniform(0, 2, (T, 4))
+        pos = plotting.quadrotor_positions(states, 1.5)
+        assert pos.shape == (T, 15)
+        a = 1.5 * 0.5 / np.sqrt(2)
+        np.testing.assert_allclose(pos[0, 3:6], states[0, 0:3] + [a, a, 0], atol=1e-12)
+        assert plotting.plot_position(states, path=str(tmp_path / "p.png"))
+        assert plotting.plot_input(controls, path=str(tmp_path / "u.png"))
