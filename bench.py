@@ -46,9 +46,9 @@ def main():
     params_q = QuadParams()
     weights = CostWeights()
     # f32 on TPU: relative tolerances sized to f32 resolution
-    solver_cfg = SolverConfig(horizon=50, max_iters=50, tol=1e-6, gtol=1e-5)
+    solver_cfg = SolverConfig(horizon=50, max_iters=30, tol=1e-4, gtol=3e-4)
 
-    batch = 256
+    batch = 1024
     if jax.default_backend() == "cpu":
         batch = 8  # CI / fallback path
 

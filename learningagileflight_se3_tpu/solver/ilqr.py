@@ -372,9 +372,20 @@ def make_mpc_solver(
                 ),
                 reg,
             )
+            # stalled: no acceptable step and the model predicts none even at
+            # elevated regularization — the iterate is at the solver's f32/f64
+            # resolution limit (common on warm restarts at an optimum). The
+            # reg >= 64 gate keeps stiff-saddle escapes alive (their decrement
+            # grows as reg rises).
+            stalled = (
+                ~improved
+                & ~stationary
+                & (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
+                & (reg >= 64.0)
+            )
             done_n = done | (
                 active
-                & (stationary | (~improved & ~stationary & (reg > cfg.reg_max)))
+                & (stationary | stalled | (~improved & ~stationary & (reg > cfg.reg_max)))
             )
             it_n = it + active.astype(it.dtype)
             return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg)

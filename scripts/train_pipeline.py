@@ -1,0 +1,183 @@
+"""End-to-end three-stage training pipeline + closed-loop evaluation.
+
+The TPU-native equivalent of the reference's run order (README.md:28-35):
+  nn_train.py -> deep_learning.py -> nn_train_2.py -> main.py
+
+Usage:
+  python scripts/train_pipeline.py                  # mini demo scale
+  python scripts/train_pipeline.py --full           # paper-scale budgets
+  python scripts/train_pipeline.py --platform cpu   # force CPU
+  python scripts/train_pipeline.py --grad analytic  # 1-solve analytic RL signal
+
+Artifacts land in runs/<tag>/: orbax checkpoints for DNN1 (pretrained, RL)
+and DNN2, learning curves (.npy, mirroring deep_learning.py:91-93), the 8
+closed-loop logs of main.py:117-124, and plots.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, help="cpu | tpu | axon (default: env)")
+    ap.add_argument("--tag", default=None)
+    ap.add_argument("--full", action="store_true", help="paper-scale budgets")
+    ap.add_argument("--grad", default="fd", choices=["fd", "analytic"])
+    ap.add_argument("--pretrain-steps", type=int, default=None)
+    ap.add_argument("--rl-epochs", type=int, default=None)
+    ap.add_argument("--rl-batch", type=int, default=None)
+    ap.add_argument("--imitation-epochs", type=int, default=None)
+    ap.add_argument("--horizon", type=int, default=50)
+    ap.add_argument("--max-iters", type=int, default=30)
+    ap.add_argument("--sim-steps", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from learningagileflight_se3_tpu.config import (
+        CostWeights,
+        QuadParams,
+        RewardConfig,
+        SamplerConfig,
+        SolverConfig,
+    )
+    from learningagileflight_se3_tpu.models.sampler import sample_scenarios
+    from learningagileflight_se3_tpu.parallel.mesh import make_mesh
+    from learningagileflight_se3_tpu.sim.closed_loop import (
+        evaluate_closed_loop,
+        make_closed_loop_sim,
+    )
+    from learningagileflight_se3_tpu.sim import plotting
+    from learningagileflight_se3_tpu.train.imitation import run_imitation_training
+    from learningagileflight_se3_tpu.train.pretrain import (
+        evaluate_pretrain,
+        run_pretraining,
+    )
+    from learningagileflight_se3_tpu.train.rl import run_rl_training
+    from learningagileflight_se3_tpu.utils.checkpoint import save_params
+
+    tag = args.tag or time.strftime("%Y%m%d-%H%M%S")
+    outdir = os.path.join("runs", tag)
+    os.makedirs(outdir, exist_ok=True)
+    print(f"[pipeline] devices={jax.devices()} outdir={outdir}")
+
+    # f32-appropriate solver tolerances on accelerators; f64 CPU can go tight
+    on_cpu = jax.default_backend() == "cpu"
+    solver_cfg = SolverConfig(
+        horizon=args.horizon,
+        max_iters=args.max_iters,
+        tol=1e-9 if on_cpu else 1e-4,
+        gtol=1e-7 if on_cpu else 3e-4,
+    )
+    pq, cw, rc, sc = QuadParams(), CostWeights(), RewardConfig(), SamplerConfig()
+
+    if args.full:
+        pretrain_steps = args.pretrain_steps or 3000
+        rl_epochs = args.rl_epochs or 100
+        rl_batch = args.rl_batch or 256
+        imi_epochs = args.imitation_epochs or 100
+    else:
+        pretrain_steps = args.pretrain_steps or 300
+        rl_epochs = args.rl_epochs or 5
+        rl_batch = args.rl_batch or 32
+        imi_epochs = args.imitation_epochs or 5
+
+    key = jax.random.PRNGKey(args.seed)
+
+    # ---------------- stage 1: supervised pretrain (nn_train.py) ----------
+    t0 = time.time()
+    key, k1 = jax.random.split(key)
+    model1, p1, pre_losses = run_pretraining(
+        k1, steps=pretrain_steps, batch_size=256, sampler_cfg=sc,
+        log_every=max(1, pretrain_steps // 10),
+    )
+    key, ke = jax.random.split(key)
+    pre_mse = evaluate_pretrain(model1, p1, ke)
+    print(f"[stage1] {time.time()-t0:.1f}s  eval MSE {pre_mse:.5f}")
+    save_params(os.path.join(outdir, "nn_pre"), p1)
+    np.save(os.path.join(outdir, "pretrain_loss.npy"), np.asarray(pre_losses))
+
+    # ---------------- stage 2: differentiable-MPC RL (deep_learning.py) ---
+    t0 = time.time()
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    key, k2 = jax.random.split(key)
+    model1, p1_rl, mean_rewards = run_rl_training(
+        k2, p1, epochs=rl_epochs, batch_size=rl_batch,
+        params_q=pq, weights=cw, solver_cfg=solver_cfg, reward_cfg=rc,
+        sampler_cfg=sc, mesh=mesh, grad_mode=args.grad,
+    )
+    print(f"[stage2] {time.time()-t0:.1f}s  mean reward "
+          f"{mean_rewards[0]:.2f} -> {mean_rewards[-1]:.2f}")
+    save_params(os.path.join(outdir, "nn_deep"), p1_rl)
+    np.save(os.path.join(outdir, "Mean_Reward.npy"), np.asarray(mean_rewards))
+    np.save(os.path.join(outdir, "Iteration.npy"), np.arange(1, len(mean_rewards) + 1))
+
+    # ---------------- stage 3: DNN2 imitation (nn_train_2.py) -------------
+    t0 = time.time()
+    key, k3 = jax.random.split(key)
+    model2, p2, imi_losses = run_imitation_training(
+        k3, p1_rl, epochs=imi_epochs, batch_scenarios=16,
+        params_q=pq, weights=cw, solver_cfg=solver_cfg, sampler_cfg=sc,
+    )
+    print(f"[stage3] {time.time()-t0:.1f}s  loss {imi_losses[0]:.4f} -> {imi_losses[-1]:.4f}")
+    save_params(os.path.join(outdir, "nn3_1"), p2)
+    np.save(os.path.join(outdir, "imitation_loss.npy"), np.asarray(imi_losses))
+
+    # ---------------- closed-loop evaluation (main.py) --------------------
+    t0 = time.time()
+    sim = jax.jit(
+        make_closed_loop_sim(model2, pq, cw, solver_cfg, steps=args.sim_steps)
+    )
+    key, ks, kg = jax.random.split(key, 3)
+    scen = sample_scenarios(ks, 1, sc)[0]
+    log = sim(p2, scen, kg)
+    trav, margin, final_d = evaluate_closed_loop(log, np.asarray(scen[3:6]))
+    dt_sim = time.time() - t0
+    print(f"[eval] {dt_sim:.1f}s  traversed={bool(trav)} margin={float(margin):.3f} "
+          f"final_dist={float(final_d):.3f}")
+
+    # the reference's 8 .npy logs (main.py:117-124)
+    np.save(os.path.join(outdir, "gate_move_traj.npy"), np.asarray(log.gate_moves))
+    np.save(os.path.join(outdir, "uav_traj.npy"), np.asarray(log.states))
+    np.save(os.path.join(outdir, "uav_ctrl.npy"), np.asarray(log.controls))
+    np.save(os.path.join(outdir, "abs_tra_time.npy"), np.asarray(log.abs_tra_times))
+    np.save(os.path.join(outdir, "tra_time.npy"), np.asarray(log.tra_times))
+    np.save(os.path.join(outdir, "Time.npy"), np.asarray(log.times))
+    np.save(os.path.join(outdir, "Pitch.npy"), np.asarray(log.pitches))
+    np.save(os.path.join(outdir, "HL_Variable.npy"), np.asarray(log.hl_variables))
+
+    plotting.plot_position(np.asarray(log.states), dt=0.01,
+                           path=os.path.join(outdir, "position.png"))
+    plotting.plot_input(np.asarray(log.controls), dt=0.01,
+                        path=os.path.join(outdir, "input.png"))
+
+    summary = {
+        "pretrain_eval_mse": pre_mse,
+        "rl_mean_reward_first": mean_rewards[0],
+        "rl_mean_reward_last": mean_rewards[-1],
+        "imitation_loss_last": imi_losses[-1],
+        "closed_loop_traversed": bool(trav),
+        "closed_loop_margin": float(margin),
+        "closed_loop_final_dist": float(final_d),
+        "platform": jax.default_backend(),
+        "n_devices": len(jax.devices()),
+    }
+    with open(os.path.join(outdir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"[pipeline] done: {json.dumps(summary)}")
+
+
+if __name__ == "__main__":
+    main()
