@@ -43,16 +43,17 @@ def boxqp(H, g, lo, hi, iters: int = 6):
         L, _ = chol4_factor(_masked_matrix(H, free))
         step = chol4_solve_factored(L, -(grad * free)) * free
 
-        cands = jnp.stack(
-            [
-                jnp.clip(d + step, lo, hi),
-                jnp.clip(d + 0.5 * step, lo, hi),
-                jnp.clip(d + 0.25 * step, lo, hi),
-                d,
-            ]
-        )
-        vals = jax.vmap(qobj)(cands)
-        return cands[jnp.argmin(vals)]
+        # NaN-robust sequential selection (an overflowed candidate must lose,
+        # not poison the argmin) — keep identical to the Pallas kernel's
+        best = d
+        best_val = qobj(d)
+        for s in (1.0, 0.5, 0.25):
+            cand = jnp.clip(d + s * step, lo, hi)
+            val = qobj(cand)
+            take = val < best_val
+            best = jnp.where(take, cand, best)
+            best_val = jnp.where(take, val, best_val)
+        return best
 
     d = jax.lax.fori_loop(0, iters, body, d0, unroll=True)
 
