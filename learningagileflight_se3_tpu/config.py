@@ -89,6 +89,10 @@ class SolverConfig:
     max_iters: int = 64         # iLQR iterations (static; converged problems no-op)
     tol: float = 1e-9           # relative cost-decrease tolerance
     gtol: float = 1e-7          # relative projected-gradient (KKT) tolerance
+    stall_gtol: float = 1e-4    # loose KKT gate for the 'stalled' early exit:
+                                # an iterate may stop on a failed line search at
+                                # high reg ONLY if it is already near-optimal;
+                                # otherwise keep escalating reg (saddle escape)
     use_ddp: bool = True        # include 2nd-order dynamics terms (full DDP)
     reg_init: float = 1.0
     reg_min: float = 1e-8

@@ -167,6 +167,185 @@ def make_analytic_gradient(
     return analytic_gradient
 
 
+class PolicySearchResult(NamedTuple):
+    """Mirror of run_quad.optimize's return list (quad_policy.py:144-147)."""
+
+    t: jnp.ndarray          # final traversal time
+    tra_pos: jnp.ndarray    # (3,)
+    tra_ang: jnp.ndarray    # (3,) Rodrigues
+    reward: jnp.ndarray     # last evaluated reward j
+    collision: jnp.ndarray
+    path: jnp.ndarray
+    reward_hist: jnp.ndarray  # (iters,) per-iteration base reward
+
+
+def make_policy_search(
+    params: QuadParams,
+    weights: CostWeights,
+    solver_cfg: SolverConfig,
+    reward_cfg: RewardConfig,
+    grad_cfg: LearnedGradConfig = LearnedGradConfig(),
+    iters: int = 200,
+    warm_start: bool = True,
+):
+    """Standalone (NN-free) policy search — run_quad.optimize
+    (quad_policy.py:115-147): FD gradient ascent over the 7 decision
+    variables, starting from the gate centroid with zero rotation.
+
+    Per-iteration semantics match the reference exactly:
+      * 9 probes [base, pos+d e_i, ang+d e_i, t-0.1, t+0.1], differences
+        clipped to +-0.5;
+      * update steps 0.1 (position) and 1/(500 a_i^2 + 5) (angles);
+      * t moves -0.1 if that probe improves by >2, ELSE +0.1 if that probe
+        does (the reference's two sequential `if`s collapse to this: after
+        t -= 0.1 the second probe re-evaluates the base point, quad_policy.py
+        140-143), then rounds to 0.1 s.
+
+    Where the reference runs 9 fresh IPOPT processes per iteration, here the
+    9 probes are one vmapped batch and the loop is a `lax.scan`; with
+    `warm_start` every probe starts from the previous base solution's control
+    trajectory (same basin for all probes => consistent differences).
+
+    Returns search(x0, u_last, goal, gate_pts, tra_pos0, t0) ->
+    PolicySearchResult.  tra_pos0 defaults to the gate centroid in callers
+    (obstacle1.centroid, quad_policy.py:116).
+    """
+    objective = make_objective(params, weights, solver_cfg, reward_cfg)
+    d = grad_cfg.delta
+    H = solver_cfg.horizon
+
+    def probes(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t, U_init):
+        dtype = tra_pos.dtype
+        eye = jnp.eye(3, dtype=dtype) * d
+        tp = jnp.concatenate(
+            [tra_pos[None], tra_pos[None] + eye, jnp.tile(tra_pos[None], (5, 1))]
+        )
+        ta = jnp.concatenate(
+            [jnp.tile(tra_ang[None], (4, 1)), tra_ang[None] + eye,
+             jnp.tile(tra_ang[None], (2, 1))]
+        )
+        ts = jnp.concatenate(
+            [jnp.full((7,), t, dtype),
+             jnp.asarray([t - grad_cfg.t_probe, t + grad_cfg.t_probe], dtype)]
+        )
+        return jax.vmap(
+            lambda tpi, tai, ti: objective(
+                x0, u_last, goal, gate_pts, tpi, tai, ti, U_init
+            )
+        )(tp, ta, ts)
+
+    def search(x0, u_last, goal, gate_pts, tra_pos0, t0):
+        dtype = tra_pos0.dtype
+        tra_ang0 = jnp.zeros(3, dtype)
+
+        def body(carry, _):
+            tra_pos, tra_ang, t, U_warm = carry
+            res = probes(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t, U_warm)
+            r = res.reward
+            j = r[0]
+            diffs = jnp.clip(r[1:7] - j, -grad_cfg.clip, grad_cfg.clip)
+            tra_pos_n = tra_pos + 0.1 * diffs[0:3]
+            tra_ang_n = tra_ang + diffs[3:6] / (
+                grad_cfg.ang_scale_a * tra_ang**2 + grad_cfg.ang_scale_b
+            )
+            t_n = jnp.where(
+                r[7] - j > grad_cfg.t_threshold,
+                t - grad_cfg.t_probe,
+                jnp.where(r[8] - j > grad_cfg.t_threshold, t + grad_cfg.t_probe, t),
+            )
+            t_n = jnp.round(t_n * 10.0) / 10.0
+            U_next = res.control_traj[0] if warm_start else U_warm
+            return (tra_pos_n, tra_ang_n, t_n, U_next), (j, res.collision[0], res.path[0])
+
+        U0 = jnp.full((H, 4), 0.5 * (solver_cfg.u_lb + solver_cfg.u_ub), dtype)
+        (tra_pos, tra_ang, t, _), (js, cols, paths) = jax.lax.scan(
+            body, (tra_pos0, tra_ang0, jnp.asarray(t0, dtype), U0), None,
+            length=iters,
+        )
+        return PolicySearchResult(
+            t=t, tra_pos=tra_pos, tra_ang=tra_ang,
+            reward=js[-1], collision=cols[-1], path=paths[-1], reward_hist=js,
+        )
+
+    return search
+
+
+def make_lsfd_search(
+    params: QuadParams,
+    weights: CostWeights,
+    solver_cfg: SolverConfig,
+    reward_cfg: RewardConfig,
+    iters: int = 50,
+    n_samples: int = 24,
+    deviation: float = 1e-3,
+    warm_start: bool = True,
+):
+    """Least-squares finite-difference policy search — run_quad.LSFD
+    (quad_policy.py:150-186): per iteration, probe the reward at `n_samples`
+    Gaussian perturbations (sigma=1e-3, quad_policy.py:214-216) of the 6 pose
+    parameters, recover the gradient by least squares
+    (pinv(C^T C) C^T f), and ascend with lr [2e-4 x3, 5e-5 x3]; the traversal
+    time then moves +0.1 if that improves reward by >20, else -0.1 if that
+    does (quad_policy.py:178-182), rounded to 0.1 s.
+
+    All `n_samples + 3` probes (base, samples, t+-0.1) are one vmapped batch
+    per iteration.  Returns search(key, x0, u_last, goal, gate_pts, tra_pos0,
+    t0) -> PolicySearchResult.
+    """
+    objective = make_objective(params, weights, solver_cfg, reward_cfg)
+    H = solver_cfg.horizon
+    lr = jnp.asarray([2e-4, 2e-4, 2e-4, 5e-5, 5e-5, 5e-5])
+
+    def search(key, x0, u_last, goal, gate_pts, tra_pos0, t0):
+        dtype = tra_pos0.dtype
+
+        def body(carry, k):
+            para, t, U_warm = carry
+            dx = deviation * jax.random.normal(k, (n_samples, 6), dtype)
+            tp = jnp.concatenate([para[None, 0:3], para[None, 0:3] + dx[:, 0:3]])
+            ta = jnp.concatenate([para[None, 3:6], para[None, 3:6] + dx[:, 3:6]])
+            ts = jnp.full((n_samples + 1,), t, dtype)
+            res = jax.vmap(
+                lambda tpi, tai, ti: objective(
+                    x0, u_last, goal, gate_pts, tpi, tai, ti, U_warm
+                )
+            )(tp, ta, ts)
+            f = res.reward[1:] - res.reward[0]
+            # least-squares gradient: (C^T C)^{-1} C^T f (quad_policy.py:171-173)
+            g = jnp.linalg.solve(dx.T @ dx, dx.T @ f)
+            para_n = para + lr.astype(dtype) * g
+            # the reference re-evaluates the base reward at the UPDATED
+            # parameters before the time probes (quad_policy.py:177-182)
+            ts2 = jnp.asarray([t, t + 0.1, t - 0.1], dtype)
+            res2 = jax.vmap(
+                lambda ti: objective(
+                    x0, u_last, goal, gate_pts, para_n[0:3], para_n[3:6], ti, U_warm
+                )
+            )(ts2)
+            j = res2.reward[0]
+            t_n = jnp.where(
+                res2.reward[1] - j > 20.0,
+                t + 0.1,
+                jnp.where(res2.reward[2] - j > 20.0, t - 0.1, t),
+            )
+            t_n = jnp.round(t_n * 10.0) / 10.0
+            U_next = res2.control_traj[0] if warm_start else U_warm
+            return (para_n, t_n, U_next), (j, res2.collision[0], res2.path[0])
+
+        U0 = jnp.full((H, 4), 0.5 * (solver_cfg.u_lb + solver_cfg.u_ub), dtype)
+        para0 = jnp.concatenate([tra_pos0, jnp.zeros(3, dtype)])
+        (para, t, _), (js, cols, paths) = jax.lax.scan(
+            body, (para0, jnp.asarray(t0, dtype), U0),
+            jax.random.split(key, iters),
+        )
+        return PolicySearchResult(
+            t=t, tra_pos=para[0:3], tra_ang=para[3:6],
+            reward=js[-1], collision=cols[-1], path=paths[-1], reward_hist=js,
+        )
+
+    return search
+
+
 def make_get_input(
     params: QuadParams,
     weights: CostWeights,

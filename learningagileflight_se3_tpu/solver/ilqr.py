@@ -374,14 +374,19 @@ def make_mpc_solver(
             )
             # stalled: no acceptable step and the model predicts none even at
             # elevated regularization — the iterate is at the solver's f32/f64
-            # resolution limit (common on warm restarts at an optimum). The
-            # reg >= 64 gate keeps stiff-saddle escapes alive (their decrement
-            # grows as reg rises).
+            # resolution limit (common on warm restarts at an optimum). Two
+            # gates keep this from firing prematurely: reg >= 64 (stiff-saddle
+            # escapes stay alive — their decrement grows as reg rises) and a
+            # LOOSE KKT check (stall_gtol): a failed line search with a large
+            # projected gradient is a temporary stall the reg schedule can
+            # still rescue, not an fp-resolution limit.
+            grad_smallish = pg <= cfg.stall_gtol * (jnp.abs(J) + 1.0)
             stalled = (
                 ~improved
                 & ~stationary
                 & (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
                 & (reg >= 64.0)
+                & grad_smallish
             )
             done_n = done | (
                 active

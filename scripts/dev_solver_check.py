@@ -1,5 +1,9 @@
 """Dev script: iLQR vs scipy oracle on the canonical static-gate scenario."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 jax.config.update("jax_platforms", "cpu")

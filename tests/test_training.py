@@ -19,6 +19,8 @@ from learningagileflight_se3_tpu.config import (
 from learningagileflight_se3_tpu.models.mlp import make_dnn1, make_dnn2, surrogate_inner_loss
 from learningagileflight_se3_tpu.models.sampler import (
     pretrain_label,
+    sample_general_scenario,
+    sample_random_gate,
     sample_scenario,
     sample_scenarios,
     scenario_to_problem,
@@ -50,6 +52,35 @@ class TestSamplers:
         assert np.all(np.abs(scen[:, 8]) >= min_angle - 1e-9)
         # roughly bimodal: both signs occur
         assert (scen[:, 8] > 0).mean() > 0.3 and (scen[:, 8] < 0).mean() > 0.3
+
+    def test_random_gate(self):
+        """gene_gate geometry (quad_nn.py:60-74): corner1 at origin, corner3
+        on +x with diagonal in [1.5, 3], corner2 above, corner4 below."""
+        g = np.asarray(jax.vmap(sample_random_gate)(
+            jax.random.split(jax.random.PRNGKey(0), 500)))
+        np.testing.assert_allclose(g[:, 0], 0.0)
+        assert np.all(g[:, 2, 0] >= 1.5) and np.all(g[:, 2, 0] <= 3.0)
+        np.testing.assert_allclose(g[:, :, 1], 0.0, atol=1e-12)  # planar (y=0)
+        assert np.all(g[:, 1, 2] >= 0) and np.all(g[:, 3, 2] <= 0)
+        assert np.all(g[:, 1, 2] <= g[:, 2, 0]) and np.all(g[:, 3, 2] >= -g[:, 2, 0])
+
+    def test_general_scenario(self):
+        """con_sample (quad_nn.py:77-115): 25-dim layout with unit quaternion,
+        spherical init position at radius in [3, 16], rigid gate placement."""
+        s = np.asarray(jax.vmap(sample_general_scenario)(
+            jax.random.split(jax.random.PRNGKey(1), 500)))
+        assert s.shape == (500, 25)
+        r = np.linalg.norm(s[:, 0:3], axis=-1)
+        assert r.min() >= 3.0 - 1e-9 and r.max() <= 16.0 + 1e-9
+        # theta clipped to [pi/4, 3pi/4] -> |z| <= r/sqrt(2)
+        assert np.all(np.abs(s[:, 2]) <= r / np.sqrt(2) + 1e-9)
+        q = s[:, 18:22]
+        np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-12)
+        # gate corners are a rigidly-transformed gene_gate: check the diagonal
+        # length |corner3 - corner1| stays in [1.5, 3]
+        gate = s[:, 3:15].reshape(-1, 4, 3)
+        dia = np.linalg.norm(gate[:, 2] - gate[:, 0], axis=-1)
+        assert dia.min() >= 1.5 - 1e-9 and dia.max() <= 3.0 + 1e-9
 
     def test_pretrain_label(self):
         scen = jnp.zeros(9).at[0:3].set(jnp.asarray([0.0, -9.0, 0.0]))
