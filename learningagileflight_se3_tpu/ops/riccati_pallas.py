@@ -126,12 +126,22 @@ def _chol4_solve(L, B):
 
 
 def _masked4(H4, free):
-    """F H F + (I-F) with free (4,L): (4,4,L)."""
+    """F H F + (I-F) with free (4,L): (4,4,L). Built scatter-free (Mosaic
+    has no scatter-add lowering): the diagonal correction is assembled by
+    stacking rows."""
     F = free[:, None, :] * free[None, :, :]
     M = H4 * F
-    for i in range(4):
-        M = M.at[i, i].add(1.0 - free[i])
-    return M
+    g = 1.0 - free  # (4,L)
+    z = jnp.zeros_like(g[0])
+    D = jnp.stack(
+        [
+            jnp.stack([g[0], z, z, z]),
+            jnp.stack([z, g[1], z, z]),
+            jnp.stack([z, z, g[2], z]),
+            jnp.stack([z, z, z, g[3]]),
+        ]
+    )
+    return M + D
 
 
 def _boxqp_lanes(Quu_r, Qu, lo, hi, iters):
@@ -265,12 +275,25 @@ def _make_kernel(H, params: QuadParams, dt, lb, ub, boxqp_iters, use_ddp):
 
         if use_ddp:
             Hqq, hqu, P, Sww = _h2_lanes(ZUk, Vz, params)
-            Qzz = Qzz.at[6:10, 6:10].add(dt * Hqq)
-            Qzz = Qzz.at[6:10, 10:13].add(dt * P)
-            Qzz = Qzz.at[10:13, 6:10].add(dt * jnp.swapaxes(P, 0, 1))
-            Qzz = Qzz.at[10:13, 10:13].add(-dt * Sww)
+            # Mosaic has no scatter-add: assemble the sparse H2 blocks into
+            # full-size updates with static concatenation instead of .at[]
+            L = A.shape[-1]
+            z_ = lambda r, c: jnp.zeros((r, c, L), dtp)
+            rows_q = jnp.concatenate(
+                [z_(4, 6), dt * Hqq, dt * P, z_(4, 4)], axis=1
+            )  # (4,17,L) rows 6:10
+            rows_w = jnp.concatenate(
+                [z_(3, 6), dt * jnp.swapaxes(P, 0, 1), -dt * Sww, z_(3, 4)],
+                axis=1,
+            )  # (3,17,L) rows 10:13
+            Qzz = Qzz + jnp.concatenate(
+                [z_(6, NZ), rows_q, rows_w, z_(4, NZ)], axis=0
+            )
             # (u, q) cross block: every u row gets hqu over the q columns
-            Quz = Quz.at[:, 6:10].add(dt * jnp.stack([hqu, hqu, hqu, hqu]))
+            hq4 = jnp.stack([hqu, hqu, hqu, hqu])  # (4,4,L)
+            Quz = Quz + jnp.concatenate(
+                [z_(4, 6), dt * hq4, z_(4, 7)], axis=1
+            )
 
         # Tassa state regularization through B^T B
         BtB = _mm_tT_m(Bm, Bm)                          # (4,4,L)

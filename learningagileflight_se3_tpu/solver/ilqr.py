@@ -423,18 +423,46 @@ def make_batched_mpc_solver(
     weights: CostWeights,
     cfg: SolverConfig,
     return_gains: bool = False,
+    backend: str = "auto",
 ):
-    """vmap the solver over a leading scenario axis.
+    """Batched solver over a leading scenario axis.
 
     solve_batch(x0[B,13], u_last[B,4], goal[B,3], tra_pos[B,3], tra_ang[B,3],
                 t[B], U_init=None|[B,H,4]) -> MPCSolution with leading B axis.
 
     This is the TPU equivalent of the reference's 10-process IPOPT fan-out
     (deep_learning.py:66-72): one XLA computation, batch-parallel.
+
+    backend:
+      * "xla"    — vmap of the single-problem solver (any batch, any device);
+      * "pallas" — natively-batched loop with the fused Riccati/boxQP Pallas
+                   kernel (solver/ilqr_batched.py); TPU, batch % 128 == 0;
+      * "auto"   — pallas when the batch divides 128 and the default backend
+                   is TPU, else xla.  Both paths implement identical
+                   semantics (tests/test_solver.py::TestBatchedPallasSolver).
     """
     solve = make_mpc_solver(params, weights, cfg, return_gains=return_gains)
+    _pallas_solve = None
+
+    def get_pallas():
+        nonlocal _pallas_solve
+        if _pallas_solve is None:
+            from learningagileflight_se3_tpu.solver.ilqr_batched import (
+                make_batched_mpc_solver_pallas,
+            )
+            _pallas_solve = make_batched_mpc_solver_pallas(
+                params, weights, cfg, return_gains=return_gains
+            )
+        return _pallas_solve
 
     def solve_some(x0, u_last, goal, tra_pos, tra_ang, t, U_init=None):
+        use_pallas = backend == "pallas" or (
+            backend == "auto"
+            and x0.shape[0] % 128 == 0
+            and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            return get_pallas()(x0, u_last, goal, tra_pos, tra_ang, t, U_init)
         if U_init is None:
             return jax.vmap(lambda a, b, c, d, e, f: solve(a, b, c, d, e, f))(
                 x0, u_last, goal, tra_pos, tra_ang, t

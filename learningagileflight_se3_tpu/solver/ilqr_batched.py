@@ -1,0 +1,312 @@
+"""Natively-batched control-limited DDP/iLQR with the fused Pallas backward.
+
+`make_mpc_solver` (ilqr.py) is a single-problem solver that vmaps cleanly,
+but under vmap the hot backward sweep lowers to a 50-step XLA loop of tiny
+(B,17,17) ops — per-op overhead dominates on TPU.  This module is the same
+algorithm written *natively over the batch axis*: one `lax.while_loop` whose
+body runs
+
+  1. closed-form derivatives (solver/analytic.py), batched over (H, B);
+  2. the whole Riccati/boxQP backward as ONE Pallas kernel
+     (ops/riccati_pallas.py) — batch on the 128-wide lane dimension,
+     value-function carry in VMEM across the sequential time grid;
+  3. a batched backtracking line search (per-lane alpha index).
+
+Semantics match ilqr.make_mpc_solver exactly (same stage cost, Tassa
+regularization schedule, Newton-decrement + true-projected-gradient
+termination, stall gate) — tests/test_pallas.py checks kernel-vs-scan
+equality and tests/test_solver.py::TestBatchedPallasSolver checks
+solver-level agreement.
+
+Constraints: batch must be a multiple of 128 (the TPU lane count).  The
+`make_batched_mpc_solver(..., backend="auto")` wrapper in ilqr.py falls back
+to the vmap path otherwise (and on CPU, where the kernel would need
+interpret mode).
+
+Internal layout is time-major (H, B, ...) so every time sweep is a `lax.scan`
+over the leading axis and the Pallas batch-last layout is one moveaxis away.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from learningagileflight_se3_tpu.config import CostWeights, QuadParams, SolverConfig
+from learningagileflight_se3_tpu.core.rotations import rodrigues_to_quat
+from learningagileflight_se3_tpu.costs.gate_costs import (
+    final_cost,
+    goal_cost,
+    thrust_cost,
+    traversal_cost,
+)
+from learningagileflight_se3_tpu.dynamics.quadrotor import euler_step
+from learningagileflight_se3_tpu.ops.riccati_pallas import riccati_backward_pallas
+from learningagileflight_se3_tpu.solver.analytic import (
+    explicit_jacobians,
+    make_cost_quadratics,
+    make_final_quadratics,
+)
+from learningagileflight_se3_tpu.solver.ilqr import MPCSolution
+
+NX = 13
+NU = 4
+NZ = NX + NU
+LANES = 128
+
+
+def make_batched_mpc_solver_pallas(
+    params: QuadParams,
+    weights: CostWeights,
+    cfg: SolverConfig,
+    return_gains: bool = False,
+    interpret: bool = False,
+):
+    """solve(x0[B,13], u_last[B,4], goal[B,3], tra_pos[B,3], tra_ang[B,3],
+    t[B], U_init=None|[B,H,4]) -> MPCSolution with leading batch axis.
+
+    B must be a multiple of 128.  `interpret=True` runs the kernel in Pallas
+    interpret mode (CPU tests)."""
+    H = cfg.horizon
+    dt = cfg.dt
+    lb = cfg.u_lb
+    ub = cfg.u_ub
+    alphas_f = 0.5 ** jnp.arange(cfg.line_search_steps)
+    cost_quadratics = make_cost_quadratics(weights, cfg)
+    final_quadratics = make_final_quadratics(weights)
+
+    def _stage_cost_b(z, u, wk, goal, tra_pos, tra_quat):
+        """Stage cost for a (B, .) time slice (ilqr._stage_cost semantics)."""
+        x = z[:, :NX]
+        u_prev = z[:, NX:]
+        c = (
+            wk * jax.vmap(traversal_cost, in_axes=(0, 0, 0, None))(
+                x, tra_pos, tra_quat, weights
+            )
+            + jax.vmap(goal_cost, in_axes=(0, 0, None))(x, goal, weights)
+            + jax.vmap(thrust_cost, in_axes=(0, None))(u, weights)
+            + weights.w_du * jnp.sum((u - u_prev) ** 2, axis=-1)
+        )
+        if cfg.w_bound_weight > 0.0:
+            viol = jnp.maximum(jnp.abs(x[:, 10:13]) - cfg.w_bound, 0.0)
+            c = c + cfg.w_bound_weight * jnp.sum(viol**2, axis=-1)
+        return c
+
+    def _aug_step_b(z, u):
+        x = jax.vmap(lambda xx, uu: euler_step(xx, uu, dt, params))(z[:, :NX], u)
+        return jnp.concatenate([x, u], axis=-1)
+
+    def rollout_cost(z0, U, t_w, goal, tra_pos, tra_quat):
+        """U (H,B,4) -> Z (H+1,B,17), J (B,)."""
+
+        def body(carry, inp):
+            z, c = carry
+            u, wk = inp
+            c = c + _stage_cost_b(z, u, wk, goal, tra_pos, tra_quat)
+            zn = _aug_step_b(z, u)
+            return (zn, c), zn
+
+        (zH, c), Zs = jax.lax.scan(body, (z0, jnp.zeros(z0.shape[0], z0.dtype)), (U, t_w))
+        c = c + jax.vmap(final_cost, in_axes=(0, 0, None))(zH[:, :NX], goal, weights)
+        return jnp.concatenate([z0[None], Zs], axis=0), c
+
+    def derivatives(Z, U, t_w, goal, tra_pos, tra_quat):
+        """Time-major inputs; returns batch-last tensors for the kernel plus
+        the true projected gradient (ilqr.derivatives semantics)."""
+        B = Z.shape[1]
+        ZU = jnp.concatenate([Z[:-1], U], axis=-1)  # (H,B,21)
+        A, Bm = explicit_jacobians(ZU.reshape(H * B, NZ + NU), params, dt)
+        A = A.reshape(H, B, NZ, NZ)
+        Bm = Bm.reshape(H, B, NZ, NU)
+        lz, lu, lzz, luz, luu = jax.vmap(
+            cost_quadratics, in_axes=(1, 1, 1, 0, 0, 0), out_axes=1
+        )(Z[:-1], U, t_w, goal, tra_pos, tra_quat)
+        phi_z, phi_zz = jax.vmap(final_quadratics)(Z[-1], goal)  # (B,17),(B,17,17)
+
+        def adj(lam, inp):
+            a, lz_k = inp
+            return lz_k + jnp.einsum("bij,bi->bj", a, lam), lam
+
+        _, lam_next = jax.lax.scan(adj, phi_z, (A, lz), reverse=True)
+        gu = lu + jnp.einsum("hbia,hbi->hba", Bm, lam_next)
+        eps_b = 1e-7 * (ub - lb)
+        free_u = ~(((U <= lb + eps_b) & (gu > 0)) | ((U >= ub - eps_b) & (gu < 0)))
+        pg_true = jnp.max(jnp.abs(gu) * free_u, axis=(0, 2))  # (B,)
+        return A, Bm, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU, pg_true
+
+    def backward(derivs, U, reg):
+        A, Bm, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU, pg_true = derivs
+        bl = lambda x: jnp.moveaxis(x, 1, -1)  # (H,B,...) -> (H,...,B)
+        kk, KK, dV1, dV2, fail = riccati_backward_pallas(
+            bl(A), bl(Bm), bl(lz), bl(lu), bl(lzz), bl(luz), bl(luu),
+            bl(U), bl(ZU),
+            jnp.moveaxis(phi_z, 0, -1), jnp.moveaxis(phi_zz, 0, -1),
+            reg[None, :],
+            params, dt, lb, ub,
+            boxqp_iters=cfg.boxqp_iters, use_ddp=cfg.use_ddp,
+            interpret=interpret,
+        )
+        kk = jnp.moveaxis(kk, -1, 1)   # (H,B,4)
+        KK = jnp.moveaxis(KK, -1, 1)   # (H,B,4,17)
+        return kk, KK, dV1, dV2, fail, pg_true
+
+    def forward(Z, U, kk, KK, t_w, goal, tra_pos, tra_quat, alpha):
+        """Closed-loop rollout, per-lane step length alpha (B,)."""
+        z0 = Z[0]
+
+        def body(carry, inp):
+            z, c = carry
+            z_ref, u_ref, k_ff, K, wk = inp
+            u = u_ref + alpha[:, None] * k_ff + jnp.einsum(
+                "bij,bj->bi", K, z - z_ref
+            )
+            u = jnp.clip(u, lb, ub)
+            c = c + _stage_cost_b(z, u, wk, goal, tra_pos, tra_quat)
+            zn = _aug_step_b(z, u)
+            return (zn, c), (zn, u)
+
+        (zH, c), (Zn, Un) = jax.lax.scan(
+            body, (z0, jnp.zeros(z0.shape[0], z0.dtype)),
+            (Z[:-1], U, kk, KK, t_w),
+        )
+        c = c + jax.vmap(final_cost, in_axes=(0, 0, None))(zH[:, :NX], goal, weights)
+        return jnp.concatenate([z0[None], Zn], axis=0), Un, c
+
+    def line_search(Z, U, J, kk, KK, t_w, goal, tra_pos, tra_quat, dV1, dV2):
+        """Per-lane first-acceptable-alpha backtracking (ilqr.line_search)."""
+        n_alpha = cfg.line_search_steps
+        dtype = J.dtype
+        tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
+        alphas = alphas_f.astype(dtype)
+
+        def cond(st):
+            accepted, i, _, _, _ = st
+            return jnp.any((~accepted) & (i < n_alpha))
+
+        def body(st):
+            accepted, i, Zb, Ub, Jb = st
+            alpha = alphas[jnp.minimum(i, n_alpha - 1)]  # (B,)
+            Zn, Un, Jn = forward(Z, U, kk, KK, t_w, goal, tra_pos, tra_quat, alpha)
+            expected = -(alpha * dV1 + alpha * alpha * dV2)
+            ok = (
+                (Jn < J)
+                & (expected > 0)
+                & ((J - Jn) / jnp.maximum(expected, tiny) > 0.1)
+                & ~accepted
+            )
+            Zb = jnp.where(ok[None, :, None], Zn, Zb)
+            Ub = jnp.where(ok[None, :, None], Un, Ub)
+            Jb = jnp.where(ok, Jn, Jb)
+            active = (~accepted) & (i < n_alpha)
+            return (accepted | ok, i + active.astype(i.dtype), Zb, Ub, Jb)
+
+        B = J.shape[0]
+        st0 = (jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), Z, U, J)
+        accepted, _, Zb, Ub, Jb = jax.lax.while_loop(cond, body, st0)
+        return accepted, Zb, Ub, Jb
+
+    def solve(x0, u_last, goal_pos, tra_pos, tra_ang, t,
+              U_init: Optional[jnp.ndarray] = None):
+        B = x0.shape[0]
+        assert B % LANES == 0, f"pallas path needs batch % {LANES} == 0, got {B}"
+        dtype = jnp.result_type(x0.dtype, jnp.float32)
+        x0 = x0.astype(dtype)
+        u_last = jnp.asarray(u_last, dtype)
+        goal = jnp.asarray(goal_pos, dtype)
+        tra_pos = jnp.asarray(tra_pos, dtype)
+        if cfg.quantize_t:
+            t = jnp.round(t * 10.0) / 10.0
+        tra_quat = jax.vmap(rodrigues_to_quat)(jnp.asarray(tra_ang, dtype))
+        ks = jnp.arange(H, dtype=dtype)
+        t_w = weights.tra_amp * jnp.exp(
+            -weights.tra_decay * (dt * ks[:, None] - t[None, :].astype(dtype)) ** 2
+        )  # (H,B)
+        z0 = jnp.concatenate([x0, u_last], axis=-1)
+
+        if U_init is None:
+            U0 = jnp.full((H, B, NU), 0.5 * (lb + ub), dtype)
+        else:
+            U0 = jnp.moveaxis(U_init.astype(dtype), 0, 1)  # (B,H,4)->(H,B,4)
+
+        Z, J0 = rollout_cost(z0, U0, t_w, goal, tra_pos, tra_quat)
+        KK0 = jnp.zeros((H, B, NU, NZ), dtype)
+
+        def cond(state):
+            Z, U, J, KK, reg, done, it, pg = state
+            return jnp.any((~done) & (it < cfg.max_iters))
+
+        def body(state):
+            Z, U, J, KK, reg, done, it, _ = state
+            derivs = derivatives(Z, U, t_w, goal, tra_pos, tra_quat)
+            kk, KK_new, dV1, dV2, fail, pg = backward(derivs, U, reg)
+
+            decrement = -(dV1 + dV2)
+            grad_small = pg <= cfg.gtol * (jnp.abs(J) + 1.0)
+            stationary = (
+                (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
+                & (dV1 <= 0)
+                & grad_small
+                & ~fail
+            )
+
+            accepted, Z_ls, U_ls, J_ls = line_search(
+                Z, U, J, kk, KK_new, t_w, goal, tra_pos, tra_quat, dV1, dV2
+            )
+            active = ~done & (it < cfg.max_iters)
+            improved = accepted & ~fail & ~stationary & active
+
+            Z_n = jnp.where(improved[None, :, None], Z_ls, Z)
+            U_n = jnp.where(improved[None, :, None], U_ls, U)
+            KK_n = jnp.where(
+                (improved | (stationary & active))[None, :, None, None], KK_new, KK
+            )
+            J_n = jnp.where(improved, J_ls, J)
+
+            reg_n = jnp.where(
+                active,
+                jnp.where(
+                    improved,
+                    jnp.maximum(reg * 0.5, cfg.reg_min),
+                    jnp.minimum(reg * 8.0, cfg.reg_max * 2.0),
+                ),
+                reg,
+            )
+            grad_smallish = pg <= cfg.stall_gtol * (jnp.abs(J) + 1.0)
+            stalled = (
+                ~improved
+                & ~stationary
+                & (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
+                & (reg >= 64.0)
+                & grad_smallish
+            )
+            done_n = done | (
+                active
+                & (stationary | stalled | (~improved & ~stationary & (reg > cfg.reg_max)))
+            )
+            it_n = it + active.astype(it.dtype)
+            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg)
+
+        reg0 = jnp.full((B,), cfg.reg_init, dtype)
+        pg0 = jnp.full((B,), jnp.inf, dtype)
+        done0 = jnp.zeros((B,), bool)
+        it0 = jnp.zeros((B,), jnp.int32)
+        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0)
+        Zf, Uf, Jf, KKf, regf, donef, itf, pgf = jax.lax.while_loop(
+            cond, body, state0
+        )
+
+        return MPCSolution(
+            state_traj=jnp.moveaxis(Zf[:, :, :NX], 0, 1),   # (B,H+1,13)
+            control_traj=jnp.moveaxis(Uf, 0, 1),            # (B,H,4)
+            cost=Jf,
+            iterations=itf,
+            converged=donef,
+            gains_K=jnp.moveaxis(KKf, 0, 1) if return_gains
+            else jnp.zeros((0,), dtype),
+            grad_norm=pgf,
+            reg_final=regf,
+        )
+
+    return solve

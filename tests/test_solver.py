@@ -150,6 +150,50 @@ class TestSolverVsOracle:
         )
 
 
+class TestBatchedPallasSolver:
+    def test_pallas_path_matches_xla(self, rng):
+        """The natively-batched Pallas solver (solver/ilqr_batched.py) must
+        agree with the vmapped reference path on converged problems —
+        interpret mode stands in for the TPU kernel on CPU."""
+        from learningagileflight_se3_tpu.solver.ilqr_batched import (
+            make_batched_mpc_solver_pallas,
+        )
+
+        cfg = SolverConfig(horizon=6, max_iters=12)
+        B = 128  # one lane tile
+        x0 = np.zeros((B, 13))
+        x0[:, 0:3] = rng.uniform(-0.5, 0.5, size=(B, 3)) + [0, -3, 0]
+        x0[:, 6] = 1.0
+        u_last = np.zeros((B, 4))
+        goal = rng.uniform(-0.5, 0.5, size=(B, 3)) + [0, 3, 0]
+        tra_pos = rng.uniform(-0.2, 0.2, size=(B, 3))
+        tra_ang = rng.normal(size=(B, 3)) * 0.1
+        t = np.full(B, 0.3)
+
+        args = [jnp.asarray(v) for v in (x0, u_last, goal, tra_pos, tra_ang, t)]
+        psolve = jax.jit(
+            make_batched_mpc_solver_pallas(PARAMS, WEIGHTS, cfg, interpret=True)
+        )
+        xsolve = jax.jit(make_batched_mpc_solver(PARAMS, WEIGHTS, cfg))
+        ps = psolve(*args)
+        xs = xsolve(*args)
+        # identical iteration-for-iteration semantics; on lanes still at the
+        # iteration cap, kernel-vs-XLA fp reassociation can amplify (same
+        # caveat as TestBatchedSolver), so controls are compared tightly on
+        # the overwhelming majority and costs everywhere
+        np.testing.assert_array_equal(
+            np.asarray(ps.iterations), np.asarray(xs.iterations)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ps.cost), np.asarray(xs.cost), rtol=5e-5
+        )
+        dU = np.abs(
+            np.asarray(ps.control_traj) - np.asarray(xs.control_traj)
+        ).max(axis=(1, 2))
+        frac_tight = float((dU < 1e-6).mean())
+        assert frac_tight >= 0.95, f"only {frac_tight:.2%} lanes agree (<1e-6)"
+
+
 class TestBatchedSolver:
     def test_batched_matches_single(self, rng):
         # scenarios chosen so every lane converges: on unconverged stiff
