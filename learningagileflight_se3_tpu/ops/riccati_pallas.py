@@ -238,8 +238,8 @@ def _make_kernel(H, params: QuadParams, dt, lb, ub, boxqp_iters, use_ddp):
     def kernel(
         A_ref, B_ref, lz_ref, lu_ref, lzz_ref, luz_ref, luu_ref, U_ref, ZU_ref,
         phiz_ref, phizz_ref, reg_ref,
-        kk_ref, KK_ref, dV1_ref, dV2_ref, fail_ref,
-        Vz_s, Vzz_s, dv1_s, dv2_s, fail_s,
+        kk_ref, KK_ref, dV1_ref, dV2_ref, fail_ref, pg_ref,
+        Vz_s, Vzz_s, dv1_s, dv2_s, fail_s, lam_s, pg_s,
     ):
         j = pl.program_id(1)
         dtp = A_ref.dtype
@@ -251,6 +251,8 @@ def _make_kernel(H, params: QuadParams, dt, lb, ub, boxqp_iters, use_ddp):
             dv1_s[:, :] = jnp.zeros_like(dv1_s)
             dv2_s[:, :] = jnp.zeros_like(dv2_s)
             fail_s[:, :] = jnp.zeros_like(fail_s)
+            lam_s[:, :] = phiz_ref[:, :]
+            pg_s[:, :] = jnp.zeros_like(pg_s)
 
         A = A_ref[0]        # (17,17,L)
         Bm = B_ref[0]       # (17,4,L)
@@ -264,6 +266,21 @@ def _make_kernel(H, params: QuadParams, dt, lb, ub, boxqp_iters, use_ddp):
         reg = reg_ref[0]    # (L,)
         Vz = Vz_s[:, :]
         Vzz = Vzz_s[:, :, :]
+
+        # --- fused adjoint / true projected gradient (was a separate XLA
+        # scan in the solver): lam carried alongside the value function;
+        # gu_k = lu_k + B^T lam_{k+1}, pg = running max over free dims ---
+        lam = lam_s[:, :]
+        gu = lu + _mm_tT_v(Bm, lam)                     # (4,L)
+        eps_b = 1e-7 * (ub - lb)
+        at_lo_g = (Uk <= lb + eps_b) & (gu > 0)
+        at_hi_g = (Uk >= ub - eps_b) & (gu < 0)
+        free_g = 1.0 - (at_lo_g | at_hi_g).astype(dtp)
+        agu = jnp.abs(gu) * free_g
+        pg_step = jnp.maximum(jnp.maximum(agu[0], agu[1]),
+                              jnp.maximum(agu[2], agu[3]))
+        pg_s[0, :] = jnp.maximum(pg_s[0, :], pg_step)
+        lam_s[:, :] = lz + _mm_tT_v(A, lam)
 
         Qz = lz + _mm_tT_v(A, Vz)                       # (17,L)
         Qu = lu + _mm_tT_v(Bm, Vz)                      # (4,L)
@@ -332,6 +349,7 @@ def _make_kernel(H, params: QuadParams, dt, lb, ub, boxqp_iters, use_ddp):
         dV1_ref[:, :] = dv1_s[:, :]
         dV2_ref[:, :] = dv2_s[:, :]
         fail_ref[:, :] = fail_s[:, :]
+        pg_ref[:, :] = pg_s[:, :]
 
     return kernel
 
@@ -344,7 +362,9 @@ def riccati_backward_pallas(
     """Batched backward sweep. Inputs in time-major batch-last layout (see
     module docstring); batch must be a multiple of 128 (pad upstream).
 
-    Returns (kk (H,4,B), KK (H,4,17,B), dV1 (B,), dV2 (B,), fail (B,))."""
+    Returns (kk (H,4,B), KK (H,4,17,B), dV1 (B,), dV2 (B,), fail (B,),
+    pg (B,)) — pg is the true projected gradient max |g_u| over free dims,
+    from the adjoint recursion fused into the same sweep."""
     H, _, _, Bt = A.shape
     assert Bt % LANES == 0, f"batch {Bt} must be a multiple of {LANES}"
     nb = Bt // LANES
@@ -374,10 +394,12 @@ def riccati_backward_pallas(
         pl.BlockSpec((1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, LANES), lambda i, j: (0, i), memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((H, NU, Bt), dtp),
         jax.ShapeDtypeStruct((H, NU, NZ, Bt), dtp),
+        jax.ShapeDtypeStruct((1, Bt), dtp),
         jax.ShapeDtypeStruct((1, Bt), dtp),
         jax.ShapeDtypeStruct((1, Bt), dtp),
         jax.ShapeDtypeStruct((1, Bt), dtp),
@@ -388,9 +410,11 @@ def riccati_backward_pallas(
         pltpu.VMEM((1, LANES), dtp),
         pltpu.VMEM((1, LANES), dtp),
         pltpu.VMEM((1, LANES), dtp),
+        pltpu.VMEM((NZ, LANES), dtp),
+        pltpu.VMEM((1, LANES), dtp),
     ]
 
-    kk, KK, dV1, dV2, fail = pl.pallas_call(
+    kk, KK, dV1, dV2, fail, pg = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -399,7 +423,7 @@ def riccati_backward_pallas(
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(A, B, lz, lu, lzz, luz, luu, U, ZU, phi_z, phi_zz, reg)
-    return kk, KK, dV1[0], dV2[0], fail[0] > 0
+    return kk, KK, dV1[0], dV2[0], fail[0] > 0, pg[0]
 
 
 # ------------------------------------------------------------- jnp reference
@@ -419,9 +443,17 @@ def riccati_backward_reference(
 
     def one_lane(b):
         def step(carry, k):
-            Vz, Vzz, dV1, dV2, fail = carry
+            Vz, Vzz, dV1, dV2, fail, lam, pg = carry
             a = A[k, :, :, b]
             bm = B[k, :, :, b]
+            # fused adjoint / projected gradient (matches the kernel)
+            gu = lu[k, :, b] + bm.T @ lam
+            eps_b = 1e-7 * (ub - lb)
+            u_k = U[k, :, b]
+            free_g = ~(((u_k <= lb + eps_b) & (gu > 0))
+                       | ((u_k >= ub - eps_b) & (gu < 0)))
+            pg = jnp.maximum(pg, jnp.max(jnp.abs(gu) * free_g))
+            lam = lz[k, :, b] + a.T @ lam
             Qz = lz[k, :, b] + a.T @ Vz
             Qu = lu[k, :, b] + bm.T @ Vz
             Qzz = lzz[k, :, :, b] + a.T @ Vzz @ a
@@ -449,7 +481,7 @@ def riccati_backward_reference(
             Vzz_n = 0.5 * (Vzz_n + Vzz_n.T)
             dV1 = dV1 + kf @ Qu
             dV2 = dV2 + 0.5 * kf @ (Quu @ kf)
-            return (Vz_n, Vzz_n, dV1, dV2, fail), (kf, K)
+            return (Vz_n, Vzz_n, dV1, dV2, fail, lam, pg), (kf, K)
 
         init = (
             phi_z[:, b],
@@ -457,13 +489,15 @@ def riccati_backward_reference(
             jnp.zeros((), A.dtype),
             jnp.zeros((), A.dtype),
             jnp.zeros((), bool),
+            phi_z[:, b],
+            jnp.zeros((), A.dtype),
         )
-        (Vz, Vzz, dV1, dV2, fail), (kk, KK) = jax.lax.scan(
+        (Vz, Vzz, dV1, dV2, fail, lam, pg), (kk, KK) = jax.lax.scan(
             step, init, jnp.arange(H), reverse=True
         )
-        return kk, KK, dV1, dV2, fail
+        return kk, KK, dV1, dV2, fail, pg
 
-    kk, KK, dV1, dV2, fail = jax.vmap(one_lane, out_axes=(-1, -1, -1, -1, -1))(
-        jnp.arange(Bt)
-    )
-    return kk, KK, dV1, dV2, fail
+    kk, KK, dV1, dV2, fail, pg = jax.vmap(
+        one_lane, out_axes=(-1, -1, -1, -1, -1, -1)
+    )(jnp.arange(Bt))
+    return kk, KK, dV1, dV2, fail, pg

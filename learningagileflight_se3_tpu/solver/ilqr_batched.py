@@ -36,14 +36,8 @@ import jax.numpy as jnp
 
 from learningagileflight_se3_tpu.config import CostWeights, QuadParams, SolverConfig
 from learningagileflight_se3_tpu.core.rotations import rodrigues_to_quat
-from learningagileflight_se3_tpu.costs.gate_costs import (
-    final_cost,
-    goal_cost,
-    thrust_cost,
-    traversal_cost,
-)
-from learningagileflight_se3_tpu.dynamics.quadrotor import euler_step
 from learningagileflight_se3_tpu.ops.riccati_pallas import riccati_backward_pallas
+from learningagileflight_se3_tpu.ops.rollout_pallas import rollout_forward_pallas
 from learningagileflight_se3_tpu.solver.analytic import (
     explicit_jacobians,
     make_cost_quadratics,
@@ -77,44 +71,33 @@ def make_batched_mpc_solver_pallas(
     cost_quadratics = make_cost_quadratics(weights, cfg)
     final_quadratics = make_final_quadratics(weights)
 
-    def _stage_cost_b(z, u, wk, goal, tra_pos, tra_quat):
-        """Stage cost for a (B, .) time slice (ilqr._stage_cost semantics)."""
-        x = z[:, :NX]
-        u_prev = z[:, NX:]
-        c = (
-            wk * jax.vmap(traversal_cost, in_axes=(0, 0, 0, None))(
-                x, tra_pos, tra_quat, weights
-            )
-            + jax.vmap(goal_cost, in_axes=(0, 0, None))(x, goal, weights)
-            + jax.vmap(thrust_cost, in_axes=(0, None))(u, weights)
-            + weights.w_du * jnp.sum((u - u_prev) ** 2, axis=-1)
+    def _fused_rollout(Z_ref, U_ref, kk, KK, t_w, alpha, goal, tra_pos, tra_quat):
+        """One ops/rollout_pallas kernel call; (H,B,..) <-> (H,..,B) moves."""
+        bl = lambda x: jnp.moveaxis(x, 1, -1)
+        Zn, Un, cost = rollout_forward_pallas(
+            bl(Z_ref), bl(U_ref), bl(kk), bl(KK), t_w[:, None, :],
+            alpha[None, :], goal.T, tra_pos.T, tra_quat.T,
+            params, weights, cfg, interpret=interpret,
         )
-        if cfg.w_bound_weight > 0.0:
-            viol = jnp.maximum(jnp.abs(x[:, 10:13]) - cfg.w_bound, 0.0)
-            c = c + cfg.w_bound_weight * jnp.sum(viol**2, axis=-1)
-        return c
-
-    def _aug_step_b(z, u):
-        x = jax.vmap(lambda xx, uu: euler_step(xx, uu, dt, params))(z[:, :NX], u)
-        return jnp.concatenate([x, u], axis=-1)
+        return jnp.moveaxis(Zn, -1, 1), jnp.moveaxis(Un, -1, 1), cost
 
     def rollout_cost(z0, U, t_w, goal, tra_pos, tra_quat):
-        """U (H,B,4) -> Z (H+1,B,17), J (B,)."""
-
-        def body(carry, inp):
-            z, c = carry
-            u, wk = inp
-            c = c + _stage_cost_b(z, u, wk, goal, tra_pos, tra_quat)
-            zn = _aug_step_b(z, u)
-            return (zn, c), zn
-
-        (zH, c), Zs = jax.lax.scan(body, (z0, jnp.zeros(z0.shape[0], z0.dtype)), (U, t_w))
-        c = c + jax.vmap(final_cost, in_axes=(0, 0, None))(zH[:, :NX], goal, weights)
+        """U (H,B,4) -> Z (H+1,B,17), J (B,): open-loop = fused rollout with
+        zero gains (the feedback term vanishes)."""
+        B = z0.shape[0]
+        dtype = z0.dtype
+        Z_ref = jnp.broadcast_to(z0[None], (H, B, NZ))
+        kk0 = jnp.zeros((H, B, NU), dtype)
+        KK0 = jnp.zeros((H, B, NU, NZ), dtype)
+        Zs, _, c = _fused_rollout(
+            Z_ref, U, kk0, KK0, t_w, jnp.zeros(B, dtype), goal, tra_pos, tra_quat
+        )
         return jnp.concatenate([z0[None], Zs], axis=0), c
 
     def derivatives(Z, U, t_w, goal, tra_pos, tra_quat):
-        """Time-major inputs; returns batch-last tensors for the kernel plus
-        the true projected gradient (ilqr.derivatives semantics)."""
+        """Time-major inputs; returns batch-last tensors for the kernel.  The
+        true projected gradient (ilqr.derivatives semantics) is computed by
+        the adjoint recursion FUSED into the Pallas backward sweep."""
         B = Z.shape[1]
         ZU = jnp.concatenate([Z[:-1], U], axis=-1)  # (H,B,21)
         A, Bm = explicit_jacobians(ZU.reshape(H * B, NZ + NU), params, dt)
@@ -124,22 +107,12 @@ def make_batched_mpc_solver_pallas(
             cost_quadratics, in_axes=(1, 1, 1, 0, 0, 0), out_axes=1
         )(Z[:-1], U, t_w, goal, tra_pos, tra_quat)
         phi_z, phi_zz = jax.vmap(final_quadratics)(Z[-1], goal)  # (B,17),(B,17,17)
-
-        def adj(lam, inp):
-            a, lz_k = inp
-            return lz_k + jnp.einsum("bij,bi->bj", a, lam), lam
-
-        _, lam_next = jax.lax.scan(adj, phi_z, (A, lz), reverse=True)
-        gu = lu + jnp.einsum("hbia,hbi->hba", Bm, lam_next)
-        eps_b = 1e-7 * (ub - lb)
-        free_u = ~(((U <= lb + eps_b) & (gu > 0)) | ((U >= ub - eps_b) & (gu < 0)))
-        pg_true = jnp.max(jnp.abs(gu) * free_u, axis=(0, 2))  # (B,)
-        return A, Bm, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU, pg_true
+        return A, Bm, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU
 
     def backward(derivs, U, reg):
-        A, Bm, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU, pg_true = derivs
+        A, Bm, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU = derivs
         bl = lambda x: jnp.moveaxis(x, 1, -1)  # (H,B,...) -> (H,...,B)
-        kk, KK, dV1, dV2, fail = riccati_backward_pallas(
+        kk, KK, dV1, dV2, fail, pg_true = riccati_backward_pallas(
             bl(A), bl(Bm), bl(lz), bl(lu), bl(lzz), bl(luz), bl(luu),
             bl(U), bl(ZU),
             jnp.moveaxis(phi_z, 0, -1), jnp.moveaxis(phi_zz, 0, -1),
@@ -153,26 +126,10 @@ def make_batched_mpc_solver_pallas(
         return kk, KK, dV1, dV2, fail, pg_true
 
     def forward(Z, U, kk, KK, t_w, goal, tra_pos, tra_quat, alpha):
-        """Closed-loop rollout, per-lane step length alpha (B,)."""
-        z0 = Z[0]
-
-        def body(carry, inp):
-            z, c = carry
-            z_ref, u_ref, k_ff, K, wk = inp
-            u = u_ref + alpha[:, None] * k_ff + jnp.einsum(
-                "bij,bj->bi", K, z - z_ref
-            )
-            u = jnp.clip(u, lb, ub)
-            c = c + _stage_cost_b(z, u, wk, goal, tra_pos, tra_quat)
-            zn = _aug_step_b(z, u)
-            return (zn, c), (zn, u)
-
-        (zH, c), (Zn, Un) = jax.lax.scan(
-            body, (z0, jnp.zeros(z0.shape[0], z0.dtype)),
-            (Z[:-1], U, kk, KK, t_w),
-        )
-        c = c + jax.vmap(final_cost, in_axes=(0, 0, None))(zH[:, :NX], goal, weights)
-        return jnp.concatenate([z0[None], Zn], axis=0), Un, c
+        """Closed-loop rollout, per-lane step length alpha (B,) — one fused
+        kernel (state carry and cost accumulator in VMEM)."""
+        Zn, Un, c = _fused_rollout(Z[:-1], U, kk, KK, t_w, alpha, goal, tra_pos, tra_quat)
+        return jnp.concatenate([Z[0][None], Zn], axis=0), Un, c
 
     def line_search(Z, U, J, kk, KK, t_w, goal, tra_pos, tra_quat, dV1, dV2):
         """Per-lane first-acceptable-alpha backtracking (ilqr.line_search)."""
