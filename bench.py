@@ -48,7 +48,7 @@ def main():
     # f32 on TPU: relative tolerances sized to f32 resolution
     solver_cfg = SolverConfig(horizon=50, max_iters=30, tol=1e-4, gtol=3e-4)
 
-    batch = 1024
+    batch = 2048  # throughput knee on v5e-1 (2048 > 1024 > 4096)
     if jax.default_backend() == "cpu":
         batch = 8  # CI / fallback path
 

@@ -36,11 +36,11 @@ import jax.numpy as jnp
 
 from learningagileflight_se3_tpu.config import CostWeights, QuadParams, SolverConfig
 from learningagileflight_se3_tpu.core.rotations import rodrigues_to_quat
-from learningagileflight_se3_tpu.ops.riccati_pallas import riccati_backward_pallas
+from learningagileflight_se3_tpu.core.rotations import quat_to_dcm_w2b
+from learningagileflight_se3_tpu.ops.riccati_fused import riccati_backward_fused
 from learningagileflight_se3_tpu.ops.rollout_pallas import rollout_forward_pallas
 from learningagileflight_se3_tpu.solver.analytic import (
-    explicit_jacobians,
-    make_cost_quadratics,
+    attitude_curvature,
     make_final_quadratics,
 )
 from learningagileflight_se3_tpu.solver.ilqr import MPCSolution
@@ -68,7 +68,6 @@ def make_batched_mpc_solver_pallas(
     lb = cfg.u_lb
     ub = cfg.u_ub
     alphas_f = 0.5 ** jnp.arange(cfg.line_search_steps)
-    cost_quadratics = make_cost_quadratics(weights, cfg)
     final_quadratics = make_final_quadratics(weights)
 
     def _fused_rollout(Z_ref, U_ref, kk, KK, t_w, alpha, goal, tra_pos, tra_quat):
@@ -94,30 +93,18 @@ def make_batched_mpc_solver_pallas(
         )
         return jnp.concatenate([z0[None], Zs], axis=0), c
 
-    def derivatives(Z, U, t_w, goal, tra_pos, tra_quat):
-        """Time-major inputs; returns batch-last tensors for the kernel.  The
-        true projected gradient (ilqr.derivatives semantics) is computed by
-        the adjoint recursion FUSED into the Pallas backward sweep."""
-        B = Z.shape[1]
+    def backward(Z, U, t_w, goal, tra_pos, Hatt, att0, reg):
+        """All derivatives (Jacobian blocks + cost quadratics + the true
+        projected-gradient adjoint) are computed INSIDE the fused Pallas
+        sweep; only the terminal quadratics come from XLA (one tiny vmap)."""
         ZU = jnp.concatenate([Z[:-1], U], axis=-1)  # (H,B,21)
-        A, Bm = explicit_jacobians(ZU.reshape(H * B, NZ + NU), params, dt)
-        A = A.reshape(H, B, NZ, NZ)
-        Bm = Bm.reshape(H, B, NZ, NU)
-        lz, lu, lzz, luz, luu = jax.vmap(
-            cost_quadratics, in_axes=(1, 1, 1, 0, 0, 0), out_axes=1
-        )(Z[:-1], U, t_w, goal, tra_pos, tra_quat)
-        phi_z, phi_zz = jax.vmap(final_quadratics)(Z[-1], goal)  # (B,17),(B,17,17)
-        return A, Bm, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU
-
-    def backward(derivs, U, reg):
-        A, Bm, lz, lu, lzz, luz, luu, phi_z, phi_zz, ZU = derivs
+        phi_z, phi_zz = jax.vmap(final_quadratics)(Z[-1], goal)
         bl = lambda x: jnp.moveaxis(x, 1, -1)  # (H,B,...) -> (H,...,B)
-        kk, KK, dV1, dV2, fail, pg_true = riccati_backward_pallas(
-            bl(A), bl(Bm), bl(lz), bl(lu), bl(lzz), bl(luz), bl(luu),
-            bl(U), bl(ZU),
+        kk, KK, dV1, dV2, fail, pg_true = riccati_backward_fused(
+            bl(ZU), t_w[:, None, :], goal.T, tra_pos.T, Hatt, att0,
             jnp.moveaxis(phi_z, 0, -1), jnp.moveaxis(phi_zz, 0, -1),
             reg[None, :],
-            params, dt, lb, ub,
+            params, weights, cfg,
             boxqp_iters=cfg.boxqp_iters, use_ddp=cfg.use_ddp,
             interpret=interpret,
         )
@@ -176,6 +163,11 @@ def make_batched_mpc_solver_pallas(
         if cfg.quantize_t:
             t = jnp.round(t * 10.0) / 10.0
         tra_quat = jax.vmap(rodrigues_to_quat)(jnp.asarray(tra_ang, dtype))
+        # per-problem attitude curvature: constant across solver iterations
+        Hatt = jnp.moveaxis(jax.vmap(attitude_curvature)(tra_quat), 0, -1)
+        att0 = (
+            3.0 - jnp.trace(jax.vmap(quat_to_dcm_w2b)(tra_quat), axis1=1, axis2=2)
+        )[None, :]
         ks = jnp.arange(H, dtype=dtype)
         t_w = weights.tra_amp * jnp.exp(
             -weights.tra_decay * (dt * ks[:, None] - t[None, :].astype(dtype)) ** 2
@@ -196,8 +188,9 @@ def make_batched_mpc_solver_pallas(
 
         def body(state):
             Z, U, J, KK, reg, done, it, _ = state
-            derivs = derivatives(Z, U, t_w, goal, tra_pos, tra_quat)
-            kk, KK_new, dV1, dV2, fail, pg = backward(derivs, U, reg)
+            kk, KK_new, dV1, dV2, fail, pg = backward(
+                Z, U, t_w, goal, tra_pos, Hatt, att0, reg
+            )
 
             decrement = -(dV1 + dV2)
             grad_small = pg <= cfg.gtol * (jnp.abs(J) + 1.0)

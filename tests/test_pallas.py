@@ -20,8 +20,11 @@ from learningagileflight_se3_tpu.solver.analytic import (
 PQ, CW = QuadParams(), CostWeights()
 
 
-def _problem_data(rng, H=6, B=128, dtype=jnp.float32):
-    """Random-but-plausible trajectory data in time-major batch-last layout."""
+def _problem_data(rng, H=6, B=128, dtype=jnp.float32, raw=False):
+    """Random-but-plausible trajectory data in time-major batch-last layout.
+
+    With raw=True additionally returns the raw problem inputs
+    (t_w, goal, tra_pos, Hatt, att0) the fused kernel consumes."""
     cfg = SolverConfig(horizon=H)
     quad = make_cost_quadratics(CW, cfg)
     fq = make_final_quadratics(CW)
@@ -55,13 +58,27 @@ def _problem_data(rng, H=6, B=128, dtype=jnp.float32):
             jnp.asarray(tra_pos, dtype), jnp.asarray(tq, dtype),
         )
         pz, pzz = fq(Zj[-1], jnp.asarray(goal, dtype))
-        return A, Bm, lz, lu, lzz, luz, luu, Uj, ZU, pz, pzz
+        derivs = (A, Bm, lz, lu, lzz, luz, luu, Uj, ZU, pz, pzz)
+        if not raw:
+            return derivs
+        from learningagileflight_se3_tpu.core.rotations import quat_to_dcm_w2b
+        from learningagileflight_se3_tpu.solver.analytic import attitude_curvature
+        tqj = jnp.asarray(tq, dtype)
+        Hatt = attitude_curvature(tqj)
+        att0 = 3.0 - jnp.trace(quat_to_dcm_w2b(tqj))
+        return derivs + (
+            jnp.asarray(tw, dtype), jnp.asarray(goal, dtype),
+            jnp.asarray(tra_pos, dtype), Hatt, att0[None],
+        )
 
     outs = [one(s) for s in range(B)]
-    stacked = [jnp.stack([o[i] for o in outs], axis=-1) for i in range(11)]
+    n = 16 if raw else 11
+    stacked = [jnp.stack([o[i] for o in outs], axis=-1) for i in range(n)]
     reg = jnp.asarray(
         np.random.default_rng(9).uniform(0.01, 2.0, size=(1, B)), dtype
     )
+    if raw:
+        return stacked[:11], stacked[11:], reg
     return stacked, reg
 
 
@@ -114,6 +131,42 @@ class TestRiccatiKernel:
         kk_p, KK_p, *_ = riccati_backward_pallas(*args, **kw, interpret=True)
         kk_r, KK_r, *_ = riccati_backward_reference(*args, **kw)
         np.testing.assert_allclose(np.asarray(kk_p), np.asarray(kk_r), atol=2e-4, rtol=1e-3)
+
+
+class TestFusedRiccatiKernel:
+    def test_fused_matches_unfused_pipeline(self, rng):
+        """riccati_backward_fused (raw trajectory in, derivatives computed
+        in-kernel) == XLA derivatives + riccati_backward_reference, element
+        for element (NaN patterns included — a few random lanes are f32-
+        unstable by construction and must explode identically)."""
+        from learningagileflight_se3_tpu.ops.riccati_fused import (
+            riccati_backward_fused,
+        )
+
+        H, B = 6, 128
+        derivs, raws, reg = _problem_data(rng, H=H, B=B, raw=True)
+        tw, goal, tp, Hatt, att0 = raws
+        cfg = SolverConfig(horizon=H)
+        kw = dict(boxqp_iters=6, use_ddp=True)
+        ref = riccati_backward_reference(
+            *derivs, reg, params=PQ, dt=0.1, lb=0.0, ub=2.44, **kw
+        )
+        ZU = derivs[8]
+        fus = riccati_backward_fused(
+            ZU, tw[:, None, :], goal, tp, Hatt, att0,
+            derivs[9], derivs[10], reg, PQ, CW, cfg, **kw, interpret=True,
+        )
+        tols = dict(kk=5e-3, KK=8e-3, dV1=1e-3, dV2=1e-3, pg=1e-4)
+        for name, a, b in zip(["kk", "KK", "dV1", "dV2", "fail", "pg"], fus, ref):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            if name == "fail":
+                np.testing.assert_array_equal(a, b)
+                continue
+            assert (np.isnan(a) == np.isnan(b)).all(), f"{name}: NaN pattern"
+            both = np.isfinite(a) & np.isfinite(b)
+            rel = np.max(np.abs(a[both] - b[both]) / (np.abs(b[both]) + 1e-2))
+            assert rel < tols[name], f"{name}: rel err {rel}"
 
 
 class TestRolloutKernel:
