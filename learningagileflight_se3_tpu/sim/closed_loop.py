@@ -35,6 +35,12 @@ from learningagileflight_se3_tpu.geometry.gate import (
     translate,
     window_inputs,
 )
+from learningagileflight_se3_tpu.sim.estimator import (
+    estimated_velocity,
+    gate_observation,
+    kalman_init,
+    make_kalman_step,
+)
 from learningagileflight_se3_tpu.sim.tsolver import make_traversal_time_solver
 from learningagileflight_se3_tpu.solver.ilqr import make_mpc_solver
 
@@ -52,6 +58,9 @@ class ClosedLoopLog(NamedTuple):
     pitches: jnp.ndarray       # (N,) open-loop gate pitch estimate
     gate_moves: jnp.ndarray    # (N+1, 4, 3) gate corner trajectory
     solver_iters: jnp.ndarray  # (N,) MPC iterations (0 on non-replan steps)
+    gate_vel_used: jnp.ndarray # (N, 4) [v(3), pitch_rate] fed to the planner
+                               # (ground truth, or KF estimate when
+                               # estimate_gate_motion=True)
 
 
 def make_closed_loop_sim(
@@ -65,12 +74,21 @@ def make_closed_loop_sim(
     plant_dt: float = 0.01,
     fixed_point_tol: float = 1e-3,
     warm_start: bool = True,
+    estimate_gate_motion: bool = False,
+    gate_obs_noise: float = 0.0,
 ):
     """sim(nn2_params, scenario (9,), key) -> ClosedLoopLog.
 
     scenario is the 9-dim DNN1 scenario vector (start, goal, yaw, gate width,
-    gate pitch) exactly as main.py:18-30 consumes it."""
+    gate pitch) exactly as main.py:18-30 consumes it.
+
+    estimate_gate_motion=True replaces the reference's ground-truth gate
+    velocity / pitch-rate feed (main.py:67,86-88) with the sim/estimator.py
+    Kalman filter over (optionally noisy, gate_obs_noise) gate-pose
+    observations — the capability the reference's dead `kalman` class
+    (quad_moving.py:8-27) was meant to provide."""
     tsolve = make_traversal_time_solver(model2, tol=fixed_point_tol)
+    kstep = make_kalman_step(dt=plant_dt)
     solve = make_mpc_solver(params_q, weights, solver_cfg, return_gains=False)
     H = solver_cfg.horizon
     w_rot = motion_cfg.omega_y
@@ -97,15 +115,30 @@ def make_closed_loop_sim(
         U_warm0 = jnp.full((H, 4), 0.5 * (solver_cfg.u_lb + solver_cfg.u_ub), dtype)
         out0 = jnp.zeros(7, dtype)
 
+        key_obs = jax.random.fold_in(key, 0x6B66)  # gate_move keeps `key`
+        ks0 = kalman_init(
+            gate_observation(moves[0]), dtype=jnp.result_type(dtype, jnp.float32)
+        )
+
         def step_fn(carry, i):
-            state, u, U_warm, out_prev = carry
+            state, u, U_warm, out_prev, ks = carry
             pts = moves[i]
-            vel = V[i]
-            t = tsolve(nn2_params, state, final, pts, vel, w_rot)
+            if estimate_gate_motion:
+                obs = gate_observation(
+                    pts, jax.random.fold_in(key_obs, i), gate_obs_noise
+                )
+                ks = kstep(ks, obs)
+                vel, w_use = estimated_velocity(ks)
+                vel = vel.astype(dtype)
+                w_use = w_use.astype(dtype)
+            else:
+                vel = V[i]
+                w_use = jnp.asarray(w_rot, dtype)
+            t = tsolve(nn2_params, state, final, pts, vel, w_use)
 
             def replan(_):
                 # predict the gate pose t seconds ahead (main.py:86-88)
-                pts_f = rotate_y(translate(pts, t * vel), t * w_rot)
+                pts_f = rotate_y(translate(pts, t * vel), t * w_use)
                 inp = window_inputs(pts_f, state, final)      # main.py:90-94
                 out = model2.apply(nn2_params, inp)
                 # window-frame MPC: state/goal in window frame (main.py:105-106)
@@ -124,13 +157,14 @@ def make_closed_loop_sim(
             )
             state_n = euler_step(state, u_n, plant_dt, params_q)  # main.py:108
             tm = thrust_torque(u_n, params_q)
+            vel_used = jnp.concatenate([vel, w_use[None]])
             log = (state_n, u_n, tm, out_n, t, t + i * plant_dt, i * plant_dt,
-                   pitch0 + w_rot * i * plant_dt, iters)
-            return (state_n, u_n, U_warm_n, out_n), log
+                   pitch0 + w_rot * i * plant_dt, iters, vel_used)
+            return (state_n, u_n, U_warm_n, out_n, ks), log
 
-        carry0 = (x0, u0, U_warm0, out0)
+        carry0 = (x0, u0, U_warm0, out0, ks0)
         _, logs = jax.lax.scan(step_fn, carry0, jnp.arange(steps))
-        (states, controls, torques, hl, T, Ttra, Time, Pitch, iters) = logs
+        (states, controls, torques, hl, T, Ttra, Time, Pitch, iters, vel_used) = logs
 
         return ClosedLoopLog(
             states=jnp.concatenate([x0[None], states]),
@@ -143,6 +177,7 @@ def make_closed_loop_sim(
             pitches=Pitch,
             gate_moves=moves,
             solver_iters=iters,
+            gate_vel_used=vel_used,
         )
 
     return sim

@@ -167,3 +167,67 @@ class TestPlotting:
         np.testing.assert_allclose(pos[0, 3:6], states[0, 0:3] + [a, a, 0], atol=1e-12)
         assert plotting.plot_position(states, path=str(tmp_path / "p.png"))
         assert plotting.plot_input(controls, path=str(tmp_path / "u.png"))
+
+
+class TestGateEstimator:
+    def test_kf_tracks_moving_gate(self):
+        """The Kalman filter converges to the true gate velocity and pitch
+        rate from pose observations alone, across atan pitch wraps — the
+        capability the reference's dead `kalman` (quad_moving.py:8-27) was
+        meant to provide."""
+        from learningagileflight_se3_tpu.geometry.gate import gate_move
+        from learningagileflight_se3_tpu.sim.estimator import (
+            estimated_velocity,
+            gate_observation,
+            kalman_init,
+            make_kalman_step,
+        )
+
+        w = float(np.pi / 2)
+        velo = jnp.asarray([1.0, 0.3, 0.4])
+        pts0 = rotate_y(gate_from_width(jnp.asarray(1.0)), jnp.asarray(0.4))
+        moves, V = gate_move(
+            pts0, jax.random.PRNGKey(0), velo, w, T=5.0, dt=0.01,
+            noise_std=0.05, noise_clip=0.05,
+        )
+        kstep = make_kalman_step(dt=0.01)
+        obs = jax.vmap(gate_observation)(moves)
+        ks = kalman_init(obs[0], dtype=jnp.float64)
+
+        def body(ks, o):
+            ks = kstep(ks, o)
+            v, wr = estimated_velocity(ks)
+            return ks, (v, wr)
+
+        _, (v_est, w_est) = jax.lax.scan(body, ks, obs.astype(jnp.float64))
+        # after burn-in the velocity estimate tracks the (noisy) truth
+        v_err = np.linalg.norm(
+            np.asarray(v_est[100:]) - np.asarray(V[100 : v_est.shape[0]]), axis=1
+        )
+        assert np.median(v_err) < 0.15, np.median(v_err)
+        w_err = np.abs(np.asarray(w_est[100:]) - w)
+        assert np.median(w_err) < 0.1, np.median(w_err)
+        # rotation passes a pitch wrap within 5 s at pi/2 rad/s from 0.4
+        assert float(0.4 + w * 5.0) > np.pi / 2
+
+    def test_closed_loop_with_estimator(self):
+        """estimate_gate_motion=True runs end-to-end and the velocity fed to
+        the planner converges toward the true gate velocity."""
+        model2, params2 = _dnn2_with_params(jax.random.PRNGKey(2))
+        cfg = SolverConfig(horizon=8, max_iters=8)
+        sim = jax.jit(
+            make_closed_loop_sim(
+                model2, solver_cfg=cfg, steps=120, control_every=10,
+                estimate_gate_motion=True, gate_obs_noise=0.002,
+            )
+        )
+        scen = jnp.asarray([0.0, -8.0, 0.0, 0.0, 6.0, 0.0, 0.05, 1.0, 0.4])
+        log = sim(params2, scen, jax.random.PRNGKey(3))
+        assert np.all(np.isfinite(np.asarray(log.states)))
+        used = np.asarray(log.gate_vel_used)
+        assert used.shape == (120, 4)
+        truth = np.asarray(GateMotionConfig().velocity)
+        err = np.linalg.norm(used[80:, 0:3] - truth, axis=1)
+        assert np.median(err) < 0.5, np.median(err)
+        w_err = np.abs(used[80:, 3] - GateMotionConfig().omega_y)
+        assert np.median(w_err) < 0.4, np.median(w_err)
