@@ -90,9 +90,22 @@ def make_rl_train_step(
 
     def batch_grads(nn_params, scen_b):
         dp, rewards = jax.vmap(lambda s: per_scenario_dp(nn_params, s))(scen_b)
+        # failure detection (SURVEY.md section 5): the reference uses IPOPT's
+        # output unconditionally (quad_OC.py:174-175) so a diverged solve
+        # silently poisons the gradient; here non-finite per-scenario signals
+        # are masked out of the update (their reward stays visible in logs).
+        valid = (
+            jnp.all(jnp.isfinite(dp), axis=-1)
+            & jnp.isfinite(rewards)
+            & jnp.all(jnp.isfinite(scen_b), axis=-1)
+        )
+        dp = jnp.where(valid[:, None], dp, 0.0)
+        # also zero the inputs of masked rows: with dp = 0 their surrogate
+        # term is 0 * d(out)/d(theta), which must be a FINITE zero
+        scen_m = jnp.where(valid[:, None], scen_b, 0.0)
 
         def loss_fn(p):
-            outs = model.apply(p, scen_b)
+            outs = model.apply(p, scen_m)
             return flip * surrogate_inner_loss(outs, dp) / scen_b.shape[0]
 
         grads = jax.grad(loss_fn)(nn_params)
@@ -149,23 +162,46 @@ def run_rl_training(
     mesh: Optional[Mesh] = None,
     grad_mode: str = "fd",
     log_fn=print,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 20,
+    resume: bool = False,
 ):
     """Full stage-2 driver (one restart of deep_learning.py's outer loop;
-    hyperparams deep_learning.py:13-16, lr 1e-4)."""
+    hyperparams deep_learning.py:13-16, lr 1e-4).
+
+    With checkpoint_dir set, the FULL training state (params + Adam moments +
+    epoch) is checkpointed every checkpoint_every epochs and `resume=True`
+    continues mid-run — per-epoch scenario keys are fold_in(key, epoch) so the
+    resumed sampling stream is identical to an uninterrupted run."""
+    from learningagileflight_se3_tpu.utils.checkpoint import (
+        load_train_state,
+        save_train_state,
+        train_state_exists,
+    )
+
     model = make_dnn1()
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(pretrained_params)
     nn_params = pretrained_params
+    start_epoch = 0
+    if checkpoint_dir is not None and resume and train_state_exists(checkpoint_dir):
+        nn_params, opt_state, start_epoch = load_train_state(
+            checkpoint_dir, nn_params, opt_state
+        )
+        log_fn(f"rl resume from {checkpoint_dir} at epoch {start_epoch}")
     step = make_rl_train_step(
         model, optimizer, params_q, weights, solver_cfg, reward_cfg,
         mesh=mesh, grad_mode=grad_mode,
     )
 
     mean_rewards = []
-    for epoch in range(epochs):
-        key, k = jax.random.split(key)
-        scen = sample_scenarios(k, batch_size, sampler_cfg)
+    for epoch in range(start_epoch, epochs):
+        scen = sample_scenarios(jax.random.fold_in(key, epoch), batch_size, sampler_cfg)
         nn_params, opt_state, mean_r, _ = step(nn_params, opt_state, scen)
         mean_rewards.append(float(mean_r))
         log_fn(f"rl epoch {epoch+1}/{epochs} mean reward {float(mean_r):.3f}")
+        if checkpoint_dir is not None and (epoch + 1) % checkpoint_every == 0:
+            save_train_state(checkpoint_dir, nn_params, opt_state, epoch + 1)
+    if checkpoint_dir is not None:
+        save_train_state(checkpoint_dir, nn_params, opt_state, epochs)
     return model, nn_params, mean_rewards

@@ -23,3 +23,33 @@ def load_params(path: str, like=None):
         if like is not None:
             return ckptr.restore(path, item=like)
         return ckptr.restore(path)
+
+
+def save_train_state(path: str, nn_params, opt_state, epoch: int) -> None:
+    """Full training-state checkpoint (params + OPTIMIZER STATE + progress) —
+    the mid-run resumability the reference lacks (SURVEY.md section 5: the
+    reference restarts each stage from whole-model pickles with fresh Adam
+    moments)."""
+    save_params(
+        path,
+        {
+            "nn_params": nn_params,
+            "opt_state": opt_state,
+            "epoch": jax.numpy.asarray(epoch, jax.numpy.int32),
+        },
+    )
+
+
+def load_train_state(path: str, nn_params_like, opt_state_like):
+    """Restore (nn_params, opt_state, epoch) saved by save_train_state."""
+    like = {
+        "nn_params": nn_params_like,
+        "opt_state": opt_state_like,
+        "epoch": jax.numpy.zeros((), jax.numpy.int32),
+    }
+    st = load_params(path, like=like)
+    return st["nn_params"], st["opt_state"], int(st["epoch"])
+
+
+def train_state_exists(path: str) -> bool:
+    return os.path.isdir(os.path.abspath(path))

@@ -217,3 +217,51 @@ class TestSurrogateLoss:
         g2 = jax.grad(lambda p: jnp.sum(model.apply(p, x) * dp))(params)
         for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+
+class TestCheckpointResume:
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        """run_rl_training with checkpoint_every=1 interrupted after 2 of 4
+        epochs and resumed reproduces the uninterrupted 4-epoch params —
+        optimizer moments and the per-epoch sampling stream survive the
+        restart (the reference cannot do this: whole-model pickles only,
+        SURVEY.md section 5)."""
+        from learningagileflight_se3_tpu.train.rl import run_rl_training
+
+        model = make_dnn1()
+        params0 = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 9)))
+        key = jax.random.PRNGKey(7)
+        kw = dict(batch_size=2, lr=1e-4, params_q=PQ, weights=CW,
+                  solver_cfg=TINY, reward_cfg=RC, log_fn=lambda *a: None)
+
+        _, p_full, r_full = run_rl_training(key, params0, epochs=4, **kw)
+
+        ck = str(tmp_path / "rl_ck")
+        run_rl_training(key, params0, epochs=2, checkpoint_dir=ck,
+                        checkpoint_every=1, **kw)
+        _, p_res, r_res = run_rl_training(
+            key, params0, epochs=4, checkpoint_dir=ck, checkpoint_every=1,
+            resume=True, **kw,
+        )
+        assert len(r_res) == 2  # only the remaining epochs ran
+        np.testing.assert_allclose(r_res, r_full[2:], rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                        jax.tree_util.tree_leaves(p_res)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+    def test_nonfinite_signal_is_masked(self):
+        """A scenario whose learning signal goes non-finite must not poison
+        the batch gradient (failure-detection gap of the reference)."""
+        from learningagileflight_se3_tpu.train.rl import make_rl_train_step
+
+        model = make_dnn1()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 9)))
+        opt = optax.adam(1e-4)
+        step = make_rl_train_step(model, opt, PQ, CW, TINY, RC)
+        scen = sample_scenarios(jax.random.PRNGKey(2), 4)
+        # poison one scenario with a NaN start position -> NaN solve/reward
+        scen = scen.at[1, 0].set(jnp.nan)
+        p2, _, _, rewards = step(params, opt.init(params), scen)
+        assert not np.isfinite(np.asarray(rewards)[1])
+        for leaf in jax.tree_util.tree_leaves(p2):
+            assert np.isfinite(np.asarray(leaf)).all()
