@@ -97,6 +97,8 @@ class SolverConfig:
     reg_init: float = 1.0
     reg_min: float = 1e-8
     reg_max: float = 1e8
+    reg_shrink: float = 0.5     # reg multiplier after an accepted step
+    reg_grow: float = 8.0       # reg multiplier after a rejected step
     boxqp_iters: int = 6        # projected-Newton iterations for the 4-dim boxQP
     line_search_steps: int = 14 # backtracking powers of 0.5 (min alpha ~1.2e-4)
     quantize_t: bool = True     # round traversal time to 0.1 s (quad_policy.py:70)

@@ -367,8 +367,8 @@ def make_mpc_solver(
                 active,
                 jnp.where(
                     improved,
-                    jnp.maximum(reg * 0.5, cfg.reg_min),
-                    jnp.minimum(reg * 8.0, cfg.reg_max * 2.0),
+                    jnp.maximum(reg * cfg.reg_shrink, cfg.reg_min),
+                    jnp.minimum(reg * cfg.reg_grow, cfg.reg_max * 2.0),
                 ),
                 reg,
             )
