@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--max-iters", type=int, default=30)
     ap.add_argument("--sim-steps", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a TensorBoard/XProf device trace here")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume stage 2 from runs/<tag>/rl_state if present")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +75,7 @@ def main():
     )
     from learningagileflight_se3_tpu.train.rl import run_rl_training
     from learningagileflight_se3_tpu.utils.checkpoint import save_params
+    from learningagileflight_se3_tpu.utils.profiling import StageTimer, device_trace
 
     tag = args.tag or time.strftime("%Y%m%d-%H%M%S")
     outdir = os.path.join("runs", tag)
@@ -99,14 +104,18 @@ def main():
         imi_epochs = args.imitation_epochs or 5
 
     key = jax.random.PRNGKey(args.seed)
+    timer = StageTimer()
+    trace_ctx = device_trace(args.profile_dir)
+    trace_ctx.__enter__()
 
     # ---------------- stage 1: supervised pretrain (nn_train.py) ----------
     t0 = time.time()
     key, k1 = jax.random.split(key)
-    model1, p1, pre_losses = run_pretraining(
-        k1, steps=pretrain_steps, batch_size=256, sampler_cfg=sc,
-        log_every=max(1, pretrain_steps // 10),
-    )
+    with timer("stage1:pretrain"):
+        model1, p1, pre_losses = run_pretraining(
+            k1, steps=pretrain_steps, batch_size=256, sampler_cfg=sc,
+            log_every=max(1, pretrain_steps // 10),
+        )
     key, ke = jax.random.split(key)
     pre_mse = evaluate_pretrain(model1, p1, ke)
     print(f"[stage1] {time.time()-t0:.1f}s  eval MSE {pre_mse:.5f}")
@@ -117,11 +126,14 @@ def main():
     t0 = time.time()
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     key, k2 = jax.random.split(key)
-    model1, p1_rl, mean_rewards = run_rl_training(
-        k2, p1, epochs=rl_epochs, batch_size=rl_batch,
-        params_q=pq, weights=cw, solver_cfg=solver_cfg, reward_cfg=rc,
-        sampler_cfg=sc, mesh=mesh, grad_mode=args.grad,
-    )
+    with timer("stage2:rl"):
+        model1, p1_rl, mean_rewards = run_rl_training(
+            k2, p1, epochs=rl_epochs, batch_size=rl_batch,
+            params_q=pq, weights=cw, solver_cfg=solver_cfg, reward_cfg=rc,
+            sampler_cfg=sc, mesh=mesh, grad_mode=args.grad,
+            checkpoint_dir=os.path.join(outdir, "rl_state"),
+            resume=args.resume,
+        )
     print(f"[stage2] {time.time()-t0:.1f}s  mean reward "
           f"{mean_rewards[0]:.2f} -> {mean_rewards[-1]:.2f}")
     save_params(os.path.join(outdir, "nn_deep"), p1_rl)
@@ -131,10 +143,11 @@ def main():
     # ---------------- stage 3: DNN2 imitation (nn_train_2.py) -------------
     t0 = time.time()
     key, k3 = jax.random.split(key)
-    model2, p2, imi_losses = run_imitation_training(
-        k3, p1_rl, epochs=imi_epochs, batch_scenarios=16,
-        params_q=pq, weights=cw, solver_cfg=solver_cfg, sampler_cfg=sc,
-    )
+    with timer("stage3:imitation"):
+        model2, p2, imi_losses = run_imitation_training(
+            k3, p1_rl, epochs=imi_epochs, batch_scenarios=16,
+            params_q=pq, weights=cw, solver_cfg=solver_cfg, sampler_cfg=sc,
+        )
     print(f"[stage3] {time.time()-t0:.1f}s  loss {imi_losses[0]:.4f} -> {imi_losses[-1]:.4f}")
     save_params(os.path.join(outdir, "nn3_1"), p2)
     np.save(os.path.join(outdir, "imitation_loss.npy"), np.asarray(imi_losses))
@@ -146,7 +159,8 @@ def main():
     )
     key, ks, kg = jax.random.split(key, 3)
     scen = sample_scenarios(ks, 1, sc)[0]
-    log = sim(p2, scen, kg)
+    with timer("eval:closed_loop"):
+        log = timer.block(sim(p2, scen, kg))
     trav, margin, final_d = evaluate_closed_loop(log, np.asarray(scen[3:6]))
     dt_sim = time.time() - t0
     print(f"[eval] {dt_sim:.1f}s  traversed={bool(trav)} margin={float(margin):.3f} "
@@ -178,6 +192,8 @@ def main():
         "platform": jax.default_backend(),
         "n_devices": len(jax.devices()),
     }
+    trace_ctx.__exit__(None, None, None)
+    timer.report()
     with open(os.path.join(outdir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(f"[pipeline] done: {json.dumps(summary)}")
