@@ -1,5 +1,12 @@
 """Pallas TPU kernel: fused control-limited Riccati backward sweep.
 
+NOTE: the production solver path is ops/riccati_fused.py, which additionally
+computes the derivative tensors in-kernel via block-sparse products.  This
+module remains as (a) the shared lane-algebra / boxQP / Cholesky helper
+library the fused kernel builds on, (b) an ablation taking precomputed
+(A, B, cost-quadratic) tensors, and (c) the home of the plain-JAX
+`riccati_backward_reference` ground truth used by tests.
+
 The solver's hot inner loop is a length-H reverse scan of small (17x17 /
 4x17) matrix algebra per scenario.  XLA's batched-matmul path pads each tiny
 matrix onto the 128x128 MXU (<2% utilization); this kernel instead lays the

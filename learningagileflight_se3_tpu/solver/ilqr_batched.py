@@ -4,13 +4,16 @@
 but under vmap the hot backward sweep lowers to a 50-step XLA loop of tiny
 (B,17,17) ops — per-op overhead dominates on TPU.  This module is the same
 algorithm written *natively over the batch axis*: one `lax.while_loop` whose
-body runs
+body runs TWO Pallas kernels
 
-  1. closed-form derivatives (solver/analytic.py), batched over (H, B);
-  2. the whole Riccati/boxQP backward as ONE Pallas kernel
-     (ops/riccati_pallas.py) — batch on the 128-wide lane dimension,
-     value-function carry in VMEM across the sequential time grid;
-  3. a batched backtracking line search (per-lane alpha index).
+  1. the fully-fused Riccati/boxQP backward (ops/riccati_fused.py): exact
+     Jacobian blocks, closed-form cost quadratics (solver/analytic.py
+     semantics), the projected-gradient adjoint, and the whole value
+     recursion computed IN-KERNEL from the raw trajectory — batch on the
+     128-wide lane dimension, value-function carry in VMEM across the
+     sequential time grid;
+  2. the fused closed-loop rollout + stage-cost line-search forward pass
+     (ops/rollout_pallas.py), per-lane step lengths.
 
 Semantics match ilqr.make_mpc_solver exactly (same stage cost, Tassa
 regularization schedule, Newton-decrement + true-projected-gradient
