@@ -7,3 +7,13 @@ from learningagileflight_se3_tpu.sim.external_controller import (
     ExternalSimController,
     euler_rates_to_body,
 )
+from learningagileflight_se3_tpu.sim.validation_env import (
+    ValidationEnv,
+    ValidationEnvConfig,
+)
+from learningagileflight_se3_tpu.sim.validation_sim import (
+    SimLogger,
+    ValidationSimConfig,
+    run_validation_sim,
+    sample_validation_scenario,
+)
