@@ -41,7 +41,7 @@ from learningagileflight_se3_tpu.geometry.gate import (
     window_inputs,
 )
 from learningagileflight_se3_tpu.sim.tsolver import make_traversal_time_solver
-from learningagileflight_se3_tpu.solver.ilqr import make_mpc_solver
+from learningagileflight_se3_tpu.solver.ilqr import make_batched_mpc_solver
 
 # sign matrix A (Yixiao_ctrl_wrapper.py:88): maps rotor thrusts to the
 # DynAviary [T, tau] convention together with diag([1, -l/2, l/2, -c])
@@ -120,9 +120,15 @@ class ExternalSimController:
         self._mix = np.diag([1.0, -self.params.l / 2, self.params.l / 2, -self.params.c]) @ _A
 
         tsolve = make_traversal_time_solver(model2, tol=fixed_point_tol)
-        solve = make_mpc_solver(self.params, self.weights, self.solver_cfg, return_gains=False)
+        solve = make_batched_mpc_solver(
+            self.params, self.weights, self.solver_cfg, return_gains=False
+        )
         H = self.solver_cfg.horizon
         ulb, uub = self.solver_cfg.u_lb, self.solver_cfg.u_ub
+        # single queries are padded to an 8-wide tile: batch-1 arrays hit a
+        # pathological XLA layout on TPU (~4x slower than batch-8 for the
+        # same sequential-depth-bound solve); row 0 is the answer
+        TILE = 8
 
         @jax.jit
         def _device_step(nn2_params, state, gate_pts, velo, u_prev, U_warm):
@@ -130,8 +136,13 @@ class ExternalSimController:
             pts_f = rotate_y(translate(gate_pts, t * velo), t * self.w_rot)
             inp = window_inputs(pts_f, state, jnp.asarray(self.final_point))
             out = model2.apply(nn2_params, inp)
-            sol = solve(inp[0:13], u_prev, inp[13:16], out[0:3], out[3:6], out[6], U_init=U_warm)
-            return sol.control_traj[0], sol.control_traj, t, out
+            rep = lambda a: jnp.tile(a[None], (TILE,) + (1,) * a.ndim)
+            sol = solve(
+                rep(inp[0:13]), rep(u_prev), rep(inp[13:16]),
+                rep(out[0:3]), rep(out[3:6]), rep(out[6]),
+                U_init=rep(U_warm),
+            )
+            return sol.control_traj[0, 0], sol.control_traj[0], t, out
 
         self._device_step = _device_step
         self._hover_U = np.full((H, 4), 0.5 * (ulb + uub))
