@@ -10,12 +10,12 @@ query with a 100 ms real-time budget at 10 Hz replanning on a single CPU core
 north-star target is >=1000x that on one TPU host (BASELINE.json).
 
 Each solve here is the full H=50 gate-traversal problem from a cold start
-(hover initialization, fresh scenario) under a FIXED 30-iteration DDP budget —
-the same work the reference's RL gradient workers do 9x per sample.  Measured
-solution quality of that budget on the benchmark scenario distribution
-(vs 150-iteration fully-converged solves, f32, B=1024): median cost excess
-0.12%, 75% of scenarios within 1%, worst ~10%.  Diagnostics go to stderr;
-stdout carries exactly the one JSON line.
+(hover initialization, fresh scenario) under a 45-iteration DDP budget —
+the same work the reference's RL gradient workers do 9x per sample.  Solution
+quality of that budget is MEASURED IN-BENCH against a 150-iteration
+fully-converged run of the same scenarios and emitted in the JSON
+(converged_frac, median/q90 cost excess, frac within 1%).  Diagnostics go to
+stderr; stdout carries exactly the one JSON line.
 """
 
 from __future__ import annotations
@@ -49,7 +49,11 @@ def main():
     params_q = QuadParams()
     weights = CostWeights()
     # f32 on TPU: relative tolerances sized to f32 resolution
-    solver_cfg = SolverConfig(horizon=50, max_iters=30, tol=1e-4, gtol=3e-4)
+    # 45-iteration budget at the reference reg schedule: the measured knee of
+    # the quality/throughput tradeoff on this distribution (see stderr +
+    # BENCH JSON quality fields; 30 iters -> 12.5% converged / q90 excess
+    # 1.4%, 45 -> 35% / 0.65%, 60 iters would fall below the 1000x target)
+    solver_cfg = SolverConfig(horizon=50, max_iters=45, tol=1e-4, gtol=3e-4)
 
     batch = 2048  # throughput knee on v5e-1 (2048 > 1024 > 4096)
     if jax.default_backend() == "cpu":
@@ -122,6 +126,21 @@ def main():
     solves_per_sec = n_pipe * batch / pipe_elapsed
     log(f"pipelined x{n_pipe}: {pipe_elapsed:.3f}s total "
         f"({solves_per_sec:.1f} solves/s; sync mode {sync_sps:.1f})")
+    # ---- solution quality at the benchmark budget, measured in-bench ----
+    # golden = fully-converged (150-iter) solves of the SAME scenarios
+    golden_cfg = SolverConfig(horizon=50, max_iters=150, tol=1e-4, gtol=3e-4)
+    solve_golden = jax.jit(make_batched_mpc_solver(params_q, weights, golden_cfg))
+    sol_g = solve_golden(*rep_args[0])
+    Jg = np.asarray(sol_g.cost)
+    sol_b = solve(*rep_args[0])
+    Jb = np.asarray(sol_b.cost)
+    conv_frac = float(np.asarray(sol_b.converged).mean())
+    excess = (Jb - Jg) / np.maximum(np.abs(Jg), 1e-6)
+    log(f"quality vs 150-iter golden: converged {conv_frac:.3f} "
+        f"excess med {np.median(excess):.2e} q90 {np.percentile(excess, 90):.2e} "
+        f"frac<1% {(excess < 0.01).mean():.3f} "
+        f"(golden itself converged {float(np.asarray(sol_g.converged).mean()):.3f})")
+
     baseline = 10.0  # IPOPT solves/s/core implied by the 10 Hz budget
     out = {
         "metric": "mpc_solves_per_sec_chip",
@@ -133,6 +152,10 @@ def main():
         "horizon": 50,
         "platform": jax.default_backend(),
         "mean_solver_iters": round(float(sol.iterations.mean()), 1),
+        "converged_frac": round(conv_frac, 4),
+        "median_cost_excess_vs_converged": float(np.median(excess)),
+        "q90_cost_excess_vs_converged": float(np.percentile(excess, 90)),
+        "frac_within_1pct_of_converged": round(float((excess < 0.01).mean()), 4),
     }
     print(json.dumps(out))
 

@@ -198,12 +198,17 @@ def evaluate_closed_loop(log: ClosedLoopLog, final_point):
 
     rel = jax.vmap(window_coords)(moves, states)  # (N, 3) x,y,z in window frame
     widths = jnp.linalg.norm(moves[:, 0] - moves[:, 1], axis=1)
+    # half-height from the actual corner geometry (corner 0 = top-left,
+    # corner 3 = bottom-left, gate_from_width) — NOT a hardcoded 1.0, so the
+    # metric stays correct for PYBULLET-variant gates (half height 0.5) and
+    # any custom SamplerConfig.gate_half_height.
+    half_heights = 0.5 * jnp.linalg.norm(moves[:, 0] - moves[:, 3], axis=1)
     behind = rel[:, 1] < 0
     crossed = (~behind[:-1]) & behind[1:]
     any_cross = jnp.any(crossed)
     ci = jnp.argmax(crossed) + 1
     x_m = (widths[ci] / 2.0) - jnp.abs(rel[ci, 0])
-    z_m = 1.0 - jnp.abs(rel[ci, 2])
+    z_m = half_heights[ci] - jnp.abs(rel[ci, 2])
     margin = jnp.minimum(x_m, z_m)
     traversed = any_cross & (margin > 0)
     final_distance = jnp.linalg.norm(states[-1, 0:3] - jnp.asarray(final_point))

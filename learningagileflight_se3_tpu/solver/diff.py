@@ -163,9 +163,11 @@ def make_differentiable_control_solver(
             Vzz_n = 0.5 * (Vzz_n + Vzz_n.T)
             return (Vz_n, Vzz_n), (k_ff, K)
 
+        # derive the zero init from phi_z so the scan carry keeps consistent
+        # manual (shard_map) varying axes — jnp.zeros would be axis-invariant
         (Vz0, _), (kk, KK) = jax.lax.scan(
             ric,
-            (jnp.zeros(NZ, dtype), phi_zz),
+            (phi_z * 0.0, phi_zz),
             (A, B, lzz, luz, luu, U_bar, free),
             reverse=True,
         )
@@ -176,7 +178,7 @@ def make_differentiable_control_solver(
             dz_n = a @ dz + b @ du
             return dz_n, du
 
-        _, dU = jax.lax.scan(fstep, jnp.zeros(NZ, dtype), (A, B, kk, KK))
+        _, dU = jax.lax.scan(fstep, phi_z * 0.0, (A, B, kk, KK))
         w = -dU  # w = H^{-1} U_bar  (restricted to free dims)
 
         # theta_bar = -grad_theta ( w . grad_U J(U*, theta) )

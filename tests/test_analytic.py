@@ -2,6 +2,8 @@
 against jax.jacfwd/jax.hessian ground truth on random points."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -28,6 +30,7 @@ def rand_zu(rng, n):
 
 
 class TestDynamicsTaylor:
+    @pytest.mark.slow
     def test_jacobians_exact(self, rng):
         dyn = DynamicsTaylor(PQ, DT)
         ZU = jnp.asarray(rand_zu(rng, 8))
@@ -41,6 +44,7 @@ class TestDynamicsTaylor:
             np.testing.assert_allclose(np.asarray(A[h]), F[:, :NZ], atol=1e-10)
             np.testing.assert_allclose(np.asarray(B[h]), F[:, NZ:], atol=1e-10)
 
+    @pytest.mark.slow
     def test_hamiltonian_hessian_exact(self, rng):
         dyn = DynamicsTaylor(PQ, DT)
         ZU = jnp.asarray(rand_zu(rng, 5))
@@ -104,12 +108,14 @@ class TestCostQuadratics:
             np.testing.assert_allclose(np.asarray(luz[h]), Hc[NZ:, :NZ], atol=1e-9)
             np.testing.assert_allclose(np.asarray(luu[h]), Hc[NZ:, NZ:], atol=1e-9)
 
+    @pytest.mark.slow
     def test_main_variant(self, rng):
         self._check(rng, CostWeights(), SolverConfig())
 
     def test_unsquared_attitude(self, rng):
         self._check(rng, CostWeights(squared_attitude=False), SolverConfig())
 
+    @pytest.mark.slow
     def test_with_goal_attitude_and_bound_penalty(self, rng):
         self._check(
             rng,

@@ -2,6 +2,8 @@
 and the standalone NN-free policy search (quad_policy.py:115-186, #13)."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -82,6 +84,7 @@ class TestCostates:
                 np.asarray(lam[k - 1]), np.asarray(g), rtol=1e-8, atol=1e-10
             )
 
+    @pytest.mark.slow
     def test_pmp_variant_differs_and_terminal_row(self):
         """Option 1 reproduces the reference's path-cost-only recursion; the
         terminal row is dphi/dx for both options (quad_OC.py:195)."""

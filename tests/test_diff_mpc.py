@@ -93,6 +93,7 @@ class TestAnalyticVJP:
 
 
 class TestFDGradient:
+    @pytest.mark.slow
     def test_semantics(self):
         """Shape/sign/quantization of the reference learning signal."""
         cfg = SolverConfig(horizon=12, max_iters=100)

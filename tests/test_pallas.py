@@ -2,6 +2,8 @@
 on CPU; the real Mosaic compile path is exercised on TPU by bench/solver)."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -170,6 +172,7 @@ class TestFusedRiccatiKernel:
 
 
 class TestRolloutKernel:
+    @pytest.mark.slow
     def test_fused_rollout_matches_scan(self, rng):
         """rollout_forward_pallas (interpret) == plain per-lane scan of
         feedback + clip + stage cost + Euler step (the XLA path it fused)."""

@@ -4,6 +4,8 @@ traversal-time fixed point converges, and the plant discretization matches the
 NumPy oracle step-for-step."""
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +29,7 @@ def _dnn2_with_params(key):
 
 
 class TestTraversalTimeSolver:
+    @pytest.mark.slow
     def test_fixed_point_converges(self):
         model2, params2 = _dnn2_with_params(jax.random.PRNGKey(0))
         tsolve = jax.jit(make_traversal_time_solver(model2, tol=1e-3))
@@ -58,6 +61,7 @@ class TestTraversalTimeSolver:
 
 
 class TestClosedLoop:
+    @pytest.mark.slow
     def test_short_sim_runs(self):
         model2, params2 = _dnn2_with_params(jax.random.PRNGKey(2))
         cfg = SolverConfig(horizon=10, max_iters=15)
@@ -101,6 +105,7 @@ class TestClosedLoop:
 
 
 class TestExternalController:
+    @pytest.mark.slow
     def test_compute_control_loop(self):
         """ExternalSimController drives the native f64 plant for a few
         control periods (the PyBullet-harness role) and produces in-range
@@ -210,6 +215,7 @@ class TestGateEstimator:
         # rotation passes a pitch wrap within 5 s at pi/2 rad/s from 0.4
         assert float(0.4 + w * 5.0) > np.pi / 2
 
+    @pytest.mark.slow
     def test_closed_loop_with_estimator(self):
         """estimate_gate_motion=True runs end-to-end and the velocity fed to
         the planner converges toward the true gate velocity."""

@@ -52,6 +52,7 @@ class TestBoxQP:
         np.testing.assert_allclose(np.asarray(d), [1.0, -1.0, -0.5, 0.5], atol=1e-8)
         np.testing.assert_allclose(np.asarray(free), [0.0, 0.0, 1.0, 1.0])
 
+    @pytest.mark.slow
     def test_kkt_random(self, rng):
         for _ in range(10):
             A = rng.normal(size=(4, 4))
@@ -87,6 +88,7 @@ class TestSolverVsOracle:
         # oracle warm-started at our solution must not find meaningfully lower cost
         assert float(sol.cost) - cost < 1e-2 * (abs(cost) + 1)
 
+    @pytest.mark.slow
     def test_full_horizon_flagship(self):
         """The BASELINE.md config-1 check: H=50 static gate, control-seq MAE
         < 1e-3 vs the converged f64 oracle."""
@@ -105,6 +107,7 @@ class TestSolverVsOracle:
         mae = np.mean(np.abs(np.asarray(sol.control_traj) - U))
         assert mae < 1e-3, f"control MAE {mae}"
 
+    @pytest.mark.slow
     def test_controls_within_bounds(self):
         cfg = SolverConfig(horizon=20, max_iters=100)
         x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
@@ -117,6 +120,7 @@ class TestSolverVsOracle:
         assert U.min() >= cfg.u_lb - 1e-12
         assert U.max() <= cfg.u_ub + 1e-12
 
+    @pytest.mark.slow
     def test_solution_cost_consistent_with_rollout(self):
         """Reported cost equals the independently-evaluated objective."""
         cfg = SolverConfig(horizon=20, max_iters=100)
@@ -135,6 +139,7 @@ class TestSolverVsOracle:
         )
         np.testing.assert_allclose(float(sol.cost), float(c), rtol=1e-9)
 
+    @pytest.mark.slow
     def test_quantize_t(self):
         """t rounding to 0.1 (quad_policy.py:70): 1.4700001 and 1.5 solve the
         same problem when quantize_t=True."""
@@ -195,6 +200,7 @@ class TestBatchedPallasSolver:
 
 
 class TestBatchedSolver:
+    @pytest.mark.slow
     def test_batched_matches_single(self, rng):
         # scenarios chosen so every lane converges: on unconverged stiff
         # problems, vmapped vs single fp reassociation may amplify over

@@ -188,6 +188,7 @@ class TestImitation:
             atol=1e-7,
         )
 
+    @pytest.mark.slow
     def test_train_step_decreases_loss(self):
         model1, model2 = make_dnn1(), make_dnn2()
         p1 = model1.init(jax.random.PRNGKey(0), jnp.zeros((1, 9)))
@@ -249,6 +250,7 @@ class TestCheckpointResume:
                         jax.tree_util.tree_leaves(p_res)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
+    @pytest.mark.slow
     def test_nonfinite_signal_is_masked(self):
         """A scenario whose learning signal goes non-finite must not poison
         the batch gradient (failure-detection gap of the reference)."""
