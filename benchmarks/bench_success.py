@@ -1,0 +1,126 @@
+"""Closed-loop traversal success rate of the TRAINED pipeline.
+
+The reference's deliverable is a trained DNN2 (`gym_pybullet_drone/nn3_1.pth`,
+consumed at main.py:42) whose closed-loop behavior is only ever eyeballed
+from animations (main.py:117-129).  This benchmark makes that success
+criterion a measured number: N seeded scenarios, each run through the full
+500-step moving-gate closed-loop sim (sim/closed_loop.py — 100 Hz plant,
+10 Hz DNN2->MPC replanning), scored by evaluate_closed_loop (gate-plane
+crossing inside the corner rectangle + clearance margin).
+
+Prints ONE JSON line:
+  {"metric": "closed_loop_success_rate", "value": ..., "unit": "frac",
+   "n_scenarios": N, "mean_margin_m": ..., "mean_final_dist_m": ...}
+
+Usage:
+  python benchmarks/bench_success.py                     # artifacts/nn3_1
+  python benchmarks/bench_success.py --ckpt runs/x/nn3_1 --n 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="artifacts/nn3_1",
+                    help="orbax checkpoint dir of the trained DNN2 params")
+    ap.add_argument("--n", type=int, default=128, help="number of scenarios")
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=2024)
+    ap.add_argument("--static-gate", action="store_true",
+                    help="zero gate velocity/rotation (ablation)")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from learningagileflight_se3_tpu.config import (
+        CostWeights,
+        GateMotionConfig,
+        QuadParams,
+        SolverConfig,
+    )
+    from learningagileflight_se3_tpu.models.mlp import make_dnn2
+    from learningagileflight_se3_tpu.models.sampler import sample_scenarios
+    from learningagileflight_se3_tpu.sim.closed_loop import (
+        evaluate_closed_loop,
+        make_closed_loop_sim,
+    )
+    from learningagileflight_se3_tpu.utils.checkpoint import load_params
+
+    model2 = make_dnn2()
+    like = model2.init(jax.random.PRNGKey(0), jnp.zeros((1, 18)))
+    p2 = load_params(args.ckpt, like=like)
+    log(f"loaded DNN2 params from {args.ckpt}; device {jax.devices()[0]}")
+
+    on_cpu = jax.default_backend() == "cpu"
+    solver_cfg = SolverConfig(
+        horizon=50, max_iters=30,
+        tol=1e-9 if on_cpu else 1e-4, gtol=1e-7 if on_cpu else 3e-4,
+    )
+    motion = GateMotionConfig()
+    if args.static_gate:
+        motion = GateMotionConfig(velocity=(0.0, 0.0, 0.0), omega_y=0.0,
+                                  noise_std=0.0)
+    sim = make_closed_loop_sim(
+        model2, QuadParams(), CostWeights(), solver_cfg,
+        motion_cfg=motion, steps=args.steps,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    ks, kg = jax.random.split(key)
+    scen = sample_scenarios(ks, args.n).astype(jnp.float32)
+    gate_keys = jax.random.split(kg, args.n)
+
+    def run_one(s, k):
+        trace = sim(p2, s, k)
+        return evaluate_closed_loop(trace, s[3:6])
+
+    run = jax.jit(jax.vmap(run_one))
+    t0 = time.time()
+    traversed, margin, final_d = run(scen, gate_keys)
+    traversed = np.asarray(traversed)
+    margin = np.asarray(margin)
+    final_d = np.asarray(final_d)
+    elapsed = time.time() - t0
+    log(f"{args.n} x {args.steps}-step closed-loop sims in {elapsed:.1f}s "
+        f"(compile included)")
+
+    ok = traversed.astype(bool)
+    out = {
+        "metric": "closed_loop_success_rate",
+        "value": round(float(ok.mean()), 4),
+        "unit": "frac",
+        "n_scenarios": int(args.n),
+        "sim_steps": int(args.steps),
+        "mean_margin_m": round(float(margin[ok].mean()) if ok.any() else -1.0, 4),
+        "mean_final_dist_m": round(float(final_d.mean()), 4),
+        "median_final_dist_m": round(float(np.median(final_d)), 4),
+        "gate_motion": "static" if args.static_gate else "moving",
+        "ckpt": args.ckpt,
+        "seed": int(args.seed),
+        "platform": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,23 @@ def euler_step(x, u, dt, params: QuadParams):
     return x + dt * quad_ode(x, u, params)
 
 
+def euler_step_renorm(x, u, dt, params: QuadParams):
+    """Euler step with quaternion renormalization — the physically-consistent
+    PLANT step for long closed-loop sims.
+
+    The reference's plant (main.py:108, the same no-renorm Euler as its MPC
+    model) silently lets |q| drift; under aggressive maneuvers the drift
+    compounds (quat_to_dcm of a non-unit q scales the thrust direction by
+    ~|q|^2) and the sim diverges.  The reference's demos stay in the gentle
+    regime where the drift is negligible; renormalizing makes the 100 Hz
+    plant correct in all regimes while the SOLVER keeps the reference-exact
+    discretization (bit-parity with the CasADi model, quad_OC.py:52-53)."""
+    xn = x + dt * quad_ode(x, u, params)
+    q = xn[6:10]
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    return jnp.concatenate([xn[0:6], q, xn[10:13]])
+
+
 def rk4_step(x, u, dt, params: QuadParams, substeps: int = 4):
     """Classic RK4 with `substeps` sub-intervals (the commented-out variant,
     quad_model.py:221-236 uses M=4)."""

@@ -27,7 +27,11 @@ from learningagileflight_se3_tpu.config import (
     SolverConfig,
 )
 from learningagileflight_se3_tpu.core.rotations import axis_angle_to_quat
-from learningagileflight_se3_tpu.dynamics.quadrotor import euler_step, thrust_torque
+from learningagileflight_se3_tpu.dynamics.quadrotor import (
+    euler_step,
+    euler_step_renorm,
+    thrust_torque,
+)
 from learningagileflight_se3_tpu.geometry.gate import (
     gate_from_width,
     gate_move,
@@ -76,6 +80,7 @@ def make_closed_loop_sim(
     warm_start: bool = True,
     estimate_gate_motion: bool = False,
     gate_obs_noise: float = 0.0,
+    renorm_plant: bool = True,
 ):
     """sim(nn2_params, scenario (9,), key) -> ClosedLoopLog.
 
@@ -147,7 +152,16 @@ def make_closed_loop_sim(
                     out[0:3], out[3:6], out[6],
                     U_init=U_warm if warm_start else None,
                 )
-                return sol.control_traj[0], sol.control_traj, out, sol.iterations
+                # receding-horizon warm start: the next replan happens one
+                # solver step (dt=0.1 s) later, so the guess must be the
+                # TIME-SHIFTED remainder of this plan. Re-using the unshifted
+                # trajectory re-applies the maneuver-start control against a
+                # state that already executed it — torque doubles down every
+                # cycle and the quad tumbles.
+                U_next = jnp.concatenate(
+                    [sol.control_traj[1:], sol.control_traj[-1:]]
+                )
+                return sol.control_traj[0], U_next, out, sol.iterations
 
             def hold(_):
                 return u, U_warm, out_prev, jnp.zeros((), jnp.int32)
@@ -155,7 +169,11 @@ def make_closed_loop_sim(
             u_n, U_warm_n, out_n, iters = jax.lax.cond(
                 i % control_every == 0, replan, hold, None
             )
-            state_n = euler_step(state, u_n, plant_dt, params_q)  # main.py:108
+            # main.py:108 plant step; renorm_plant=True keeps |q|=1 (see
+            # euler_step_renorm — the reference's no-renorm plant diverges
+            # under aggressive maneuvers), False is the reference-exact plant
+            step_plant = euler_step_renorm if renorm_plant else euler_step
+            state_n = step_plant(state, u_n, plant_dt, params_q)
             tm = thrust_torque(u_n, params_q)
             vel_used = jnp.concatenate([vel, w_use[None]])
             log = (state_n, u_n, tm, out_n, t, t + i * plant_dt, i * plant_dt,
@@ -203,8 +221,15 @@ def evaluate_closed_loop(log: ClosedLoopLog, final_point):
     # metric stays correct for PYBULLET-variant gates (half height 0.5) and
     # any custom SamplerConfig.gate_half_height.
     half_heights = 0.5 * jnp.linalg.norm(moves[:, 0] - moves[:, 3], axis=1)
-    behind = rel[:, 1] < 0
-    crossed = (~behind[:-1]) & behind[1:]
+    # plane crossing in EITHER direction: the main-variant scenarios fly
+    # -y -> +y through the gate (sampler offsets (0,-9,0) -> (0,6,0),
+    # quad_nn.py:21-26) while the window normal ay points +y, so a
+    # front-crossing is a sign change of the normal coordinate, not
+    # specifically +,- -> -,+.  Non-finite states (diverged sims) are
+    # treated as never-crossing.
+    rel_y = jnp.where(jnp.isfinite(rel[:, 1]), rel[:, 1], jnp.inf)
+    behind = rel_y < 0  # a sample exactly ON the plane counts as in-front
+    crossed = behind[:-1] != behind[1:]
     any_cross = jnp.any(crossed)
     ci = jnp.argmax(crossed) + 1
     x_m = (widths[ci] / 2.0) - jnp.abs(rel[ci, 0])

@@ -316,11 +316,19 @@ def make_mpc_solver(
             t_weights=t_weights,
         )
 
+        U_mid = jnp.full((H, NU), 0.5 * (lb + ub), dtype)
         if U_init is None:
             # IPOPT's w0 control initialization: midpoint of bounds (quad_OC.py:142)
-            U0 = jnp.full((H, NU), 0.5 * (lb + ub), dtype)
+            U0 = U_mid
         else:
-            U0 = U_init.astype(dtype)
+            # warm-start guard: a guess whose rollout explodes (the no-renorm
+            # Euler model diverges geometrically once |omega| is large —
+            # quad_OC.py:52-53 semantics) poisons every derivative; fall back
+            # to the midpoint init when the warm rollout's cost is not sane.
+            Uw = U_init.astype(dtype)
+            _, Jw = rollout_cost(prob.z0, Uw, prob)
+            warm_ok = jnp.isfinite(Jw) & (jnp.abs(Jw) < 1e12)
+            U0 = jnp.where(warm_ok, Uw, U_mid)
         U0 = U0 + prob.z0[0] * 0.0  # shard_map-safe: match z0's manual axes
 
         Z, J0 = rollout_cost(prob.z0, U0, prob)
@@ -342,13 +350,18 @@ def make_mpc_solver(
             # artificially, which must not read as optimality.
             decrement = -(dV1 + dV2)
             # optimal iff the TRUE projected gradient is small; the model
-            # decrement alone can vanish spuriously (stiff value recursion)
+            # decrement alone can vanish spuriously (stiff value recursion).
+            # `sane` guards the |J|-relative tolerances: at an exploded-
+            # rollout cost (1e69) every tolerance is trivially satisfied and
+            # the solver would declare a garbage iterate "converged".
+            sane = jnp.isfinite(J) & (jnp.abs(J) < 1e12)
             grad_small = pg <= cfg.gtol * (jnp.abs(J) + 1.0)
             stationary = (
                 (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
                 & (dV1 <= 0)
                 & grad_small
                 & ~fail
+                & sane
             )
 
             accepted, Z_ls, U_ls, J_ls = line_search(Z, U, J, kk, KK_new, prob, dV1, dV2)
@@ -387,6 +400,7 @@ def make_mpc_solver(
                 & (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
                 & (reg >= 64.0)
                 & grad_smallish
+                & sane
             )
             done_n = done | (
                 active
@@ -408,7 +422,7 @@ def make_mpc_solver(
             control_traj=Uf,
             cost=Jf,
             iterations=itf,
-            converged=donef,
+            converged=donef & jnp.isfinite(Jf) & (jnp.abs(Jf) < 1e12),
             gains_K=KKf if return_gains else jnp.zeros((0,), dtype),
             grad_norm=pgf,
             reg_final=regf,

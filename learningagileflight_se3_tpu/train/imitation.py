@@ -132,18 +132,39 @@ def run_imitation_training(
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(nn2_params)
 
-    collect = jax.jit(
-        make_imitation_collect(model1, params_q, weights, solver_cfg, window_frame)
+    collect = make_imitation_collect(
+        model1, params_q, weights, solver_cfg, window_frame
     )
-    step = jax.jit(make_imitation_train_step(model2, optimizer))
+    step = make_imitation_train_step(model2, optimizer)
 
-    losses = []
-    for epoch in range(epochs):
-        key, k = jax.random.split(key)
-        scen = sample_scenarios(k, batch_scenarios, sampler_cfg)
-        inputs, labels = collect(nn1_params, scen)
-        for _ in range(sgd_passes):
-            nn2_params, opt_state, loss = step(nn2_params, opt_state, inputs, labels)
-        losses.append(float(loss))
-        log_fn(f"imitation epoch {epoch+1}/{epochs} loss {float(loss):.6f}")
+    # Device-resident epoch loop (ONE jit dispatch for the whole stage): the
+    # reference forks 16 IPOPT processes per epoch and runs a Python SGD loop
+    # (nn_train_2.py:29-40,86-99); here teacher collection + the sgd passes
+    # scan on-device.
+    @jax.jit
+    def run_all(nn2_params, opt_state, key):
+        def epoch_body(carry, k):
+            nn2_params, opt_state = carry
+            scen = sample_scenarios(k, batch_scenarios, sampler_cfg)
+            inputs, labels = collect(nn1_params, scen)
+
+            def sgd_body(c, _):
+                p, o = c
+                p, o, loss = step(p, o, inputs, labels)
+                return (p, o), loss
+
+            (nn2_params, opt_state), pass_losses = jax.lax.scan(
+                sgd_body, (nn2_params, opt_state), None, length=sgd_passes
+            )
+            return (nn2_params, opt_state), pass_losses[-1]
+
+        keys = jax.random.split(key, epochs)
+        (nn2_params, opt_state), losses = jax.lax.scan(
+            epoch_body, (nn2_params, opt_state), keys
+        )
+        return nn2_params, losses
+
+    nn2_params, losses_arr = run_all(nn2_params, opt_state, key)
+    losses = [float(l) for l in losses_arr]
+    log_fn(f"imitation {epochs} epochs loss {losses[0]:.6f} -> {losses[-1]:.6f}")
     return model2, nn2_params, losses

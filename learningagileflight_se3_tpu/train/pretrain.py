@@ -9,6 +9,7 @@ quad_nn.py:51-57) are exact.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -52,24 +53,42 @@ def run_pretraining(
     log_fn=print,
 ):
     """Full stage-1 driver. Default budget 3000x256 ~= 25x the reference's
-    30,000 single-sample steps (nn_train.py:10-12) at a fraction of the time."""
+    30,000 single-sample steps (nn_train.py:10-12) at a fraction of the time.
+
+    Device-resident: the whole step loop is ONE lax.scan inside ONE jit
+    dispatch — the reference's 30,000 Python-loop Adam steps
+    (nn_train.py:24-39) would each pay a host->device round trip (ruinous
+    over a remote-TPU tunnel; measured ~25 ms-2.7 s per dispatch)."""
     model = make_dnn1()
     if params is None:
         key, init_key = jax.random.split(key)
         params = model.init(init_key, jnp.zeros((1, 9)))
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
-    step = jax.jit(
-        make_pretrain_step(model, optimizer, sampler_cfg), static_argnums=(3,)
-    )
+    step = make_pretrain_step(model, optimizer, sampler_cfg)
 
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run_chunk(params, opt_state, key, n_steps):
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, k, batch_size)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=n_steps
+        )
+        return params, opt_state, key, losses
+
+    # chunk at the logging cadence: a handful of dispatches total
     losses = []
-    for i in range(steps):
-        key, k = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, k, batch_size)
-        if (i + 1) % log_every == 0:
-            losses.append(float(loss))
-            log_fn(f"pretrain step {i+1}/{steps} loss {float(loss):.6f}")
+    done = 0
+    while done < steps:
+        n = min(log_every, steps - done)
+        params, opt_state, key, chunk_losses = run_chunk(params, opt_state, key, n)
+        done += n
+        losses.append(float(chunk_losses[-1]))
+        log_fn(f"pretrain step {done}/{steps} loss {losses[-1]:.6f}")
     return model, params, losses
 
 

@@ -194,14 +194,38 @@ def run_rl_training(
         mesh=mesh, grad_mode=grad_mode,
     )
 
+    # Device-resident epoch loop: epochs scan inside ONE jit dispatch per
+    # checkpoint interval (per-epoch keys stay fold_in(key, epoch), so the
+    # sampling stream is bit-identical to the old host loop and to a resumed
+    # run).  The reference pays a process fork + 9 IPOPT solves per SAMPLE
+    # (deep_learning.py:66-72); here a whole checkpoint interval of training
+    # is one XLA program.
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def run_epochs(nn_params, opt_state, epoch0, n_epochs):
+        def body(carry, e):
+            nn_params, opt_state = carry
+            scen = sample_scenarios(
+                jax.random.fold_in(key, e), batch_size, sampler_cfg
+            )
+            nn_params, opt_state, mean_r, _ = step(nn_params, opt_state, scen)
+            return (nn_params, opt_state), mean_r
+
+        (nn_params, opt_state), mrs = jax.lax.scan(
+            body, (nn_params, opt_state), epoch0 + jnp.arange(n_epochs)
+        )
+        return nn_params, opt_state, mrs
+
+    chunk = checkpoint_every if checkpoint_dir is not None else epochs - start_epoch
     mean_rewards = []
-    for epoch in range(start_epoch, epochs):
-        scen = sample_scenarios(jax.random.fold_in(key, epoch), batch_size, sampler_cfg)
-        nn_params, opt_state, mean_r, _ = step(nn_params, opt_state, scen)
-        mean_rewards.append(float(mean_r))
-        log_fn(f"rl epoch {epoch+1}/{epochs} mean reward {float(mean_r):.3f}")
-        if checkpoint_dir is not None and (epoch + 1) % checkpoint_every == 0:
-            save_train_state(checkpoint_dir, nn_params, opt_state, epoch + 1)
+    epoch = start_epoch
+    while epoch < epochs:
+        n = min(chunk, epochs - epoch)
+        nn_params, opt_state, mrs = run_epochs(nn_params, opt_state, epoch, n)
+        mean_rewards.extend(float(r) for r in mrs)
+        epoch += n
+        log_fn(f"rl epoch {epoch}/{epochs} mean reward {mean_rewards[-1]:.3f}")
+        if checkpoint_dir is not None:
+            save_train_state(checkpoint_dir, nn_params, opt_state, epoch)
     if checkpoint_dir is not None:
         save_train_state(checkpoint_dir, nn_params, opt_state, epochs)
     return model, nn_params, mean_rewards

@@ -88,20 +88,40 @@ class TestClosedLoop:
         assert U.min() >= cfg.u_lb - 1e-9 and U.max() <= cfg.u_ub + 1e-9
 
     def test_plant_matches_numpy_oracle(self):
-        """The 100 Hz plant is the reference dyn_fn Euler step (main.py:108)."""
+        """With renorm_plant=False the 100 Hz plant is the reference dyn_fn
+        Euler step exactly (main.py:108); the default (renorm_plant=True)
+        plant is the same step followed by quaternion renormalization."""
         model2, params2 = _dnn2_with_params(jax.random.PRNGKey(4))
         cfg = SolverConfig(horizon=8, max_iters=10)
-        sim = jax.jit(
-            make_closed_loop_sim(model2, solver_cfg=cfg, steps=15, control_every=10)
-        )
         scen = jnp.asarray([0.5, -7.0, 0.2, 0.0, 6.0, 0.0, 0.0, 1.1, 0.3])
+        p = QuadParams()
+
+        sim = jax.jit(
+            make_closed_loop_sim(model2, solver_cfg=cfg, steps=15,
+                                 control_every=10, renorm_plant=False)
+        )
         log = sim(params2, scen, jax.random.PRNGKey(5))
         states = np.asarray(log.states)
         controls = np.asarray(log.controls)
-        p = QuadParams()
         for i in range(15):
             expected = np_euler_step(states[i], controls[i + 1], 0.01, p)
             np.testing.assert_allclose(states[i + 1], expected, atol=1e-8)
+
+        sim_rn = jax.jit(
+            make_closed_loop_sim(model2, solver_cfg=cfg, steps=15,
+                                 control_every=10, renorm_plant=True)
+        )
+        log_rn = sim_rn(params2, scen, jax.random.PRNGKey(5))
+        states_rn = np.asarray(log_rn.states)
+        controls_rn = np.asarray(log_rn.controls)
+        for i in range(15):
+            expected = np_euler_step(states_rn[i], controls_rn[i + 1], 0.01, p)
+            q = expected[6:10] / np.linalg.norm(expected[6:10])
+            expected = np.concatenate([expected[0:6], q, expected[10:13]])
+            np.testing.assert_allclose(states_rn[i + 1], expected, atol=1e-8)
+        np.testing.assert_allclose(
+            np.linalg.norm(states_rn[1:, 6:10], axis=1), 1.0, atol=1e-12
+        )
 
 
 class TestExternalController:
