@@ -102,6 +102,10 @@ class SolverConfig:
     boxqp_iters: int = 6        # projected-Newton iterations for the 4-dim boxQP
     line_search_steps: int = 14 # backtracking powers of 0.5 (min alpha ~1.2e-4)
     quantize_t: bool = True     # round traversal time to 0.1 s (quad_policy.py:70)
+    backward: str = "sequential"  # Riccati sweep: "sequential" (reverse scan)
+                                  # or "parallel" (associative scan over the
+                                  # horizon, O(log H) depth; iLQR mode — see
+                                  # solver/parallel_riccati.py)
 
     @property
     def n_state(self) -> int:

@@ -245,6 +245,17 @@ def make_mpc_solver(
         )
         return kk, KK, dV1, dV2, fail, pg_true
 
+    if cfg.backward == "parallel":
+        # O(log H)-depth associative-scan sweep (solver/parallel_riccati.py);
+        # iLQR mode — wins at small batch (single-query replan latency)
+        from learningagileflight_se3_tpu.solver.parallel_riccati import (
+            make_parallel_backward,
+        )
+
+        backward = make_parallel_backward(cfg, lb, ub)
+    elif cfg.backward != "sequential":
+        raise ValueError(f"unknown cfg.backward: {cfg.backward!r}")
+
     def forward(Z, U, kk, KK, prob, alpha):
         """Closed-loop rollout with clipped controls."""
         z0 = Z[0]

@@ -46,6 +46,12 @@ def main():
                     help="write a TensorBoard/XProf device trace here")
     ap.add_argument("--resume", action="store_true",
                     help="resume stage 2 from runs/<tag>/rl_state if present")
+    ap.add_argument("--window-frame", action="store_true",
+                    help="train DNN2 on window-frame states (the arguably-"
+                         "intended variant; default replicates the reference's "
+                         "world-frame-training quirk, nn_train_2.py:77)")
+    ap.add_argument("--eval-scenarios", type=int, default=16,
+                    help="closed-loop eval scenario count (success rate)")
     args = ap.parse_args()
 
     import jax
@@ -147,6 +153,7 @@ def main():
         model2, p2, imi_losses = run_imitation_training(
             k3, p1_rl, epochs=imi_epochs, batch_scenarios=16,
             params_q=pq, weights=cw, solver_cfg=solver_cfg, sampler_cfg=sc,
+            window_frame=args.window_frame,
         )
     print(f"[stage3] {time.time()-t0:.1f}s  loss {imi_losses[0]:.4f} -> {imi_losses[-1]:.4f}")
     save_params(os.path.join(outdir, "nn3_1"), p2)
@@ -154,17 +161,31 @@ def main():
 
     # ---------------- closed-loop evaluation (main.py) --------------------
     t0 = time.time()
-    sim = jax.jit(
-        make_closed_loop_sim(model2, pq, cw, solver_cfg, steps=args.sim_steps)
-    )
+    sim = make_closed_loop_sim(model2, pq, cw, solver_cfg, steps=args.sim_steps)
     key, ks, kg = jax.random.split(key, 3)
-    scen = sample_scenarios(ks, 1, sc)[0]
+    n_eval = max(1, args.eval_scenarios)
+    scens = sample_scenarios(ks, n_eval, sc)
+    gate_keys = jax.random.split(kg, n_eval)
+
+    def eval_one(s, k):
+        trace = sim(p2, s, k)
+        return trace, evaluate_closed_loop(trace, s[3:6])
+
+    run_eval = jax.jit(jax.vmap(eval_one))
     with timer("eval:closed_loop"):
-        log = timer.block(sim(p2, scen, kg))
-    trav, margin, final_d = evaluate_closed_loop(log, np.asarray(scen[3:6]))
+        logs, (travs, margins, final_ds) = timer.block(run_eval(scens, gate_keys))
+    travs = np.asarray(travs)
+    margins = np.asarray(margins)
+    final_ds = np.asarray(final_ds)
+    success_rate = float(travs.astype(bool).mean())
+    # headline log trace = the first scenario (the reference's main.py logs one)
+    log = jax.tree_util.tree_map(lambda x: x[0], logs)
+    scen = scens[0]
+    trav, margin, final_d = travs[0], margins[0], final_ds[0]
     dt_sim = time.time() - t0
-    print(f"[eval] {dt_sim:.1f}s  traversed={bool(trav)} margin={float(margin):.3f} "
-          f"final_dist={float(final_d):.3f}")
+    print(f"[eval] {dt_sim:.1f}s  success {success_rate:.2f} over {n_eval} "
+          f"scenarios; scenario0 traversed={bool(trav)} "
+          f"margin={float(margin):.3f} final_dist={float(final_d):.3f}")
 
     # the reference's 8 .npy logs (main.py:117-124)
     np.save(os.path.join(outdir, "gate_move_traj.npy"), np.asarray(log.gate_moves))
@@ -189,6 +210,10 @@ def main():
         "closed_loop_traversed": bool(trav),
         "closed_loop_margin": float(margin),
         "closed_loop_final_dist": float(final_d),
+        "closed_loop_success_rate": success_rate,
+        "closed_loop_eval_scenarios": n_eval,
+        "closed_loop_mean_final_dist": float(final_ds.mean()),
+        "window_frame": bool(args.window_frame),
         "platform": jax.default_backend(),
         "n_devices": len(jax.devices()),
     }
