@@ -29,10 +29,44 @@ from learningagileflight_se3_tpu.config import (
     SamplerConfig,
     SolverConfig,
 )
-from learningagileflight_se3_tpu.geometry.gate import transform_state_to_window, final_to_window
+from learningagileflight_se3_tpu.core.rotations import (
+    dcm_to_quat,
+    quat_mul,
+    rodrigues_to_quat,
+)
+from learningagileflight_se3_tpu.geometry.gate import (
+    final_to_window,
+    gate_centroid,
+    gate_frame,
+    transform_state_to_window,
+)
 from learningagileflight_se3_tpu.models.mlp import make_dnn1, make_dnn2
 from learningagileflight_se3_tpu.models.sampler import sample_scenarios, scenario_to_problem
 from learningagileflight_se3_tpu.solver.ilqr import make_mpc_solver
+
+
+def traversal_pose_to_window(gate_pts, tra_pos, tra_ang):
+    """Teacher traversal pose (world frame, as DNN1 emits it and the RL-stage
+    MPC consumes it) -> window frame, the frame the DEPLOYED MPC solves in
+    (sim/closed_loop.py replan: solve(window state, ..., out[0:3], out[3:6])).
+
+    Position: the usual rigid transform.  Attitude: the desired body->world
+    DCM R_tra maps to a desired body->window DCM R_wg @ R_tra — matching
+    transform_state_to_window's quaternion convention — re-expressed as the
+    Gibbs/Rodrigues vector q_vec/q_w that Rd2Rp inverts (quad_policy.py:10-13:
+    theta = 2*atan(|w|) means |w| = tan(theta/2), i.e. w IS the Gibbs vector).
+    """
+    R_wg = gate_frame(gate_pts)
+    c = gate_centroid(gate_pts)
+    pos_w = R_wg @ (tra_pos - c)
+    q_tra = rodrigues_to_quat(tra_ang)          # world-frame desired attitude
+    q_win = quat_mul(dcm_to_quat(R_wg), q_tra)  # window-frame desired attitude
+    # Gibbs vector = q_vec / q_w; flip to the q_w > 0 hemisphere first (the
+    # two quaternion signs are the same rotation) and guard q_w ~ 0 (a 180
+    # degree desired attitude never occurs for gate traversals).
+    q_win = jnp.where(q_win[0] < 0, -q_win, q_win)
+    ang_w = q_win[1:4] / jnp.maximum(q_win[0], 1e-6)
+    return pos_w, ang_w
 
 
 def make_imitation_collect(
@@ -41,11 +75,21 @@ def make_imitation_collect(
     weights: CostWeights,
     solver_cfg: SolverConfig,
     window_frame: bool = False,
+    consistent_labels: bool = False,
 ):
     """collect(nn1_params, scenarios (B,9)) -> (inputs (B*H, 18), labels (B*H, 7)).
 
     Per scenario: teacher DNN1 output -> one MPC solve -> relabel every step i
-    with [teacher_out(6), t - 0.1*i] (nn_train_2.py:81-83)."""
+    with [teacher_out(6), t - 0.1*i] (nn_train_2.py:81-83).
+
+    consistent_labels=True (requires window_frame) additionally maps the
+    teacher's traversal pose into the window frame, so the labels live in the
+    SAME frame the deployed MPC interprets DNN2's output in.  The reference
+    trains on world-frame poses and deploys window-frame (nn_train_2.py:81 vs
+    main.py:96-106) — near-consistent only because its static training gates
+    sit at the origin; the pitch rotation is still unaccounted for."""
+    if consistent_labels and not window_frame:
+        raise ValueError("consistent_labels requires window_frame=True")
     solve = make_mpc_solver(params_q, weights, solver_cfg, return_gains=False)
     H = solver_cfg.horizon
     dt = solver_cfg.dt
@@ -65,6 +109,13 @@ def make_imitation_collect(
             final = final_to_window(prob["gate_pts"], prob["goal_pos"])
         else:
             final = prob["goal_pos"]
+        if consistent_labels:
+            pos_lab, ang_lab = traversal_pose_to_window(
+                prob["gate_pts"], out[0:3], out[3:6]
+            )
+            pose_lab = jnp.concatenate([pos_lab, ang_lab])
+        else:
+            pose_lab = out[0:6]
         gap = scen[7:9]  # width, pitch (nn_train_2.py:79)
         inputs = jnp.concatenate(
             [
@@ -77,7 +128,7 @@ def make_imitation_collect(
         steps = jnp.arange(H, dtype=scen.dtype)
         labels = jnp.concatenate(
             [
-                jnp.tile(out[None, 0:6], (H, 1)),
+                jnp.tile(pose_lab[None, :], (H, 1)),
                 (out[6] - steps * dt * 1.0)[:, None],
             ],
             axis=1,
@@ -119,21 +170,32 @@ def run_imitation_training(
     solver_cfg: SolverConfig = SolverConfig(),
     sampler_cfg: SamplerConfig = SamplerConfig(),
     window_frame: bool = False,
+    consistent_labels: bool = False,
     nn2_params=None,
+    lr_schedule: bool = False,
     log_fn=print,
 ):
     """Full stage-3 driver (hyperparams nn_train_2.py:14-17: 1600 teacher
-    trajectories total at 16/epoch; lr 1e-6)."""
+    trajectories total at 16/epoch; lr 1e-6).
+
+    lr_schedule=True swaps the reference's fixed lr for cosine decay from lr
+    to lr/100 over the run — the reference's lr 1e-6 needs ~80k sequential
+    SGD steps to move the net; a decayed 1e-3 reaches lower loss in ~1k
+    batched steps."""
     model1 = make_dnn1()
     model2 = make_dnn2()
     if nn2_params is None:
         key, ik = jax.random.split(key)
         nn2_params = model2.init(ik, jnp.zeros((1, 18)))
-    optimizer = optax.adam(lr)
+    if lr_schedule:
+        sched = optax.cosine_decay_schedule(lr, epochs * sgd_passes, alpha=0.01)
+        optimizer = optax.adam(sched)
+    else:
+        optimizer = optax.adam(lr)
     opt_state = optimizer.init(nn2_params)
 
     collect = make_imitation_collect(
-        model1, params_q, weights, solver_cfg, window_frame
+        model1, params_q, weights, solver_cfg, window_frame, consistent_labels
     )
     step = make_imitation_train_step(model2, optimizer)
 
