@@ -83,6 +83,25 @@ def main():
     log(f"warm-start latency: median {np.median(lat)*1e3:.2f} ms  "
         f"p90 {np.percentile(lat, 90)*1e3:.2f} ms  max {lat.max()*1e3:.2f} ms")
 
+    # regression guard for the tile workaround (VERDICT r1 weak #7): also
+    # time the RAW batch-1 path.  If XLA ever fixes the batch-1 layout the
+    # pad becomes removable (pad_speedup ~ 1); if batch-1 regresses further
+    # the padded deployment path keeps the 10 Hz budget honest.
+    args1 = [a[:1] for a in args]
+    sol1 = solve(*args1)
+    np.asarray(sol1.control_traj)
+    lat1 = []
+    U1 = sol1.control_traj
+    for i in range(20):
+        U1 = jnp.concatenate([U1[:, 1:], U1[:, -1:]], axis=1)
+        t0 = time.perf_counter()
+        sol1 = solve(*args1, U_init=U1)
+        np.asarray(sol1.control_traj)
+        lat1.append(time.perf_counter() - t0)
+        U1 = sol1.control_traj
+    lat1 = np.asarray(lat1[3:])
+    log(f"raw batch-1 latency: median {np.median(lat1)*1e3:.2f} ms")
+
     value = float(np.median(lat))
     out = {
         "metric": "mpc_query_latency",
@@ -90,6 +109,8 @@ def main():
         "unit": "s",
         "vs_baseline": round(0.1 / value, 2),
         "p90_s": round(float(np.percentile(lat, 90)), 6),
+        "batch1_median_s": round(float(np.median(lat1)), 6),
+        "pad_speedup": round(float(np.median(lat1) / value), 2),
         "horizon": cfg.horizon,
         "platform": jax.default_backend(),
     }
