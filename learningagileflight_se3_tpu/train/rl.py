@@ -161,6 +161,7 @@ def run_rl_training(
     sampler_cfg: SamplerConfig = SamplerConfig(),
     mesh: Optional[Mesh] = None,
     grad_mode: str = "fd",
+    lr_schedule: bool = False,
     log_fn=print,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 20,
@@ -180,7 +181,12 @@ def run_rl_training(
     )
 
     model = make_dnn1()
-    optimizer = optax.adam(lr)
+    if lr_schedule:
+        # cosine decay to lr/10: the fixed-lr run plateaus ~epoch 60 with the
+        # update noise floor of the clipped FD signal (quad_policy.py:100-105)
+        optimizer = optax.adam(optax.cosine_decay_schedule(lr, epochs, alpha=0.1))
+    else:
+        optimizer = optax.adam(lr)
     opt_state = optimizer.init(pretrained_params)
     nn_params = pretrained_params
     start_epoch = 0

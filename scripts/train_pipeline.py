@@ -50,6 +50,15 @@ def main():
                     help="train DNN2 on window-frame states (the arguably-"
                          "intended variant; default replicates the reference's "
                          "world-frame-training quirk, nn_train_2.py:77)")
+    ap.add_argument("--consistent-labels", action="store_true",
+                    help="with --window-frame: also map the teacher's "
+                         "traversal pose into the window frame (the frame the "
+                         "deployed MPC interprets DNN2's output in)")
+    ap.add_argument("--imitation-lr", type=float, default=1e-3,
+                    help="stage-3 lr (cosine-decayed; the reference's 1e-6 "
+                         "needs ~80k sequential steps, see ablate_imitation)")
+    ap.add_argument("--rl-sched", action="store_true",
+                    help="cosine-decay the stage-2 lr over the run")
     ap.add_argument("--eval-scenarios", type=int, default=16,
                     help="closed-loop eval scenario count (success rate)")
     args = ap.parse_args()
@@ -102,7 +111,7 @@ def main():
         pretrain_steps = args.pretrain_steps or 3000
         rl_epochs = args.rl_epochs or 100
         rl_batch = args.rl_batch or 256
-        imi_epochs = args.imitation_epochs or 100
+        imi_epochs = args.imitation_epochs or 300
     else:
         pretrain_steps = args.pretrain_steps or 300
         rl_epochs = args.rl_epochs or 5
@@ -137,6 +146,7 @@ def main():
             k2, p1, epochs=rl_epochs, batch_size=rl_batch,
             params_q=pq, weights=cw, solver_cfg=solver_cfg, reward_cfg=rc,
             sampler_cfg=sc, mesh=mesh, grad_mode=args.grad,
+            lr_schedule=args.rl_sched,
             checkpoint_dir=os.path.join(outdir, "rl_state"),
             resume=args.resume,
         )
@@ -151,9 +161,13 @@ def main():
     key, k3 = jax.random.split(key)
     with timer("stage3:imitation"):
         model2, p2, imi_losses = run_imitation_training(
-            k3, p1_rl, epochs=imi_epochs, batch_scenarios=16,
+            k3, p1_rl, epochs=imi_epochs,
+            batch_scenarios=64 if args.full else 16,
+            sgd_passes=10 if args.full else 4,
+            lr=args.imitation_lr, lr_schedule=True,
             params_q=pq, weights=cw, solver_cfg=solver_cfg, sampler_cfg=sc,
             window_frame=args.window_frame,
+            consistent_labels=args.consistent_labels,
         )
     print(f"[stage3] {time.time()-t0:.1f}s  loss {imi_losses[0]:.4f} -> {imi_losses[-1]:.4f}")
     save_params(os.path.join(outdir, "nn3_1"), p2)
@@ -214,6 +228,10 @@ def main():
         "closed_loop_eval_scenarios": n_eval,
         "closed_loop_mean_final_dist": float(final_ds.mean()),
         "window_frame": bool(args.window_frame),
+        "consistent_labels": bool(args.consistent_labels),
+        "rl_grad_mode": args.grad,
+        "rl_epochs": rl_epochs,
+        "imitation_epochs": imi_epochs,
         "platform": jax.default_backend(),
         "n_devices": len(jax.devices()),
     }
