@@ -73,7 +73,7 @@ def main():
 
     on_cpu = jax.default_backend() == "cpu"
     solver_cfg = SolverConfig(
-        horizon=50, max_iters=30,
+        horizon=50, max_iters=45,
         tol=1e-9 if on_cpu else 1e-4, gtol=1e-7 if on_cpu else 3e-4,
     )
     motion = GateMotionConfig()

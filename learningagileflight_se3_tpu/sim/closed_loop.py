@@ -95,6 +95,18 @@ def make_closed_loop_sim(
     tsolve = make_traversal_time_solver(model2, tol=fixed_point_tol)
     kstep = make_kalman_step(dt=plant_dt)
     solve = make_mpc_solver(params_q, weights, solver_cfg, return_gains=False)
+    # receding-horizon warm-start shift: the next replan happens
+    # control_every*plant_dt seconds later, i.e. `shift` solver steps into
+    # the current plan. Only integer ratios give a time-consistent shifted
+    # guess (non-integer would warm-start from between-knot times).
+    shift_f = control_every * plant_dt / solver_cfg.dt
+    warm_shift = int(round(shift_f))
+    if warm_start and (warm_shift < 1 or abs(shift_f - warm_shift) > 1e-9):
+        raise ValueError(
+            f"warm_start needs control_every*plant_dt to be an integer "
+            f"multiple of the solver dt: {control_every}*{plant_dt} / "
+            f"{solver_cfg.dt} = {shift_f}"
+        )
     H = solver_cfg.horizon
     w_rot = motion_cfg.omega_y
     velo = jnp.asarray(motion_cfg.velocity)
@@ -152,14 +164,15 @@ def make_closed_loop_sim(
                     out[0:3], out[3:6], out[6],
                     U_init=U_warm if warm_start else None,
                 )
-                # receding-horizon warm start: the next replan happens one
-                # solver step (dt=0.1 s) later, so the guess must be the
+                # receding-horizon warm start: the next replan happens
+                # `warm_shift` solver steps later, so the guess must be the
                 # TIME-SHIFTED remainder of this plan. Re-using the unshifted
                 # trajectory re-applies the maneuver-start control against a
                 # state that already executed it — torque doubles down every
                 # cycle and the quad tumbles.
                 U_next = jnp.concatenate(
-                    [sol.control_traj[1:], sol.control_traj[-1:]]
+                    [sol.control_traj[warm_shift:],
+                     jnp.tile(sol.control_traj[-1:], (warm_shift, 1))]
                 )
                 return sol.control_traj[0], U_next, out, sol.iterations
 

@@ -248,6 +248,13 @@ def make_mpc_solver(
     if cfg.backward == "parallel":
         # O(log H)-depth associative-scan sweep (solver/parallel_riccati.py);
         # iLQR mode — wins at small batch (single-query replan latency)
+        if cfg.use_ddp:
+            raise ValueError(
+                "cfg.backward='parallel' is a Gauss-Newton (iLQR) sweep and "
+                "cannot honor use_ddp=True: the associative-scan composition "
+                "has no slot for the second-order dynamics terms. Set "
+                "use_ddp=False explicitly to opt into the iLQR downgrade."
+            )
         from learningagileflight_se3_tpu.solver.parallel_riccati import (
             make_parallel_backward,
         )

@@ -22,6 +22,7 @@ import json
 import os
 import sys
 import time
+import zlib
 
 import numpy as np
 
@@ -87,7 +88,11 @@ def main():
     for name in args.variants.split(","):
         fr = frames[name]
         t0 = time.time()
-        key_t = jax.random.fold_in(jax.random.PRNGKey(args.seed), hash(name) % 2**30)
+        # crc32, not hash(): Python's str hash is salted per process
+        # (PYTHONHASHSEED), which would break --seed reproducibility
+        key_t = jax.random.fold_in(
+            jax.random.PRNGKey(args.seed), zlib.crc32(name.encode()) % 2**30
+        )
         model2, p2, losses = run_imitation_training(
             key_t, p1, epochs=args.epochs,
             batch_scenarios=args.batch_scenarios, sgd_passes=args.sgd_passes,

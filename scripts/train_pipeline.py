@@ -39,16 +39,19 @@ def main():
     ap.add_argument("--rl-batch", type=int, default=None)
     ap.add_argument("--imitation-epochs", type=int, default=None)
     ap.add_argument("--horizon", type=int, default=50)
-    ap.add_argument("--max-iters", type=int, default=30)
+    ap.add_argument("--max-iters", type=int, default=45)
     ap.add_argument("--sim-steps", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--profile-dir", default=None,
                     help="write a TensorBoard/XProf device trace here")
     ap.add_argument("--resume", action="store_true",
                     help="resume stage 2 from runs/<tag>/rl_state if present")
-    ap.add_argument("--window-frame", action="store_true",
+    ap.add_argument("--window-frame", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="train DNN2 on window-frame states (the arguably-"
-                         "intended variant; default replicates the reference's "
+                         "intended variant and the ablation winner, "
+                         "runs/ablate_imitation/ablation.json: 90.6%% success; "
+                         "--no-window-frame replicates the reference's "
                          "world-frame-training quirk, nn_train_2.py:77)")
     ap.add_argument("--consistent-labels", action="store_true",
                     help="with --window-frame: also map the teacher's "
@@ -57,9 +60,11 @@ def main():
     ap.add_argument("--imitation-lr", type=float, default=1e-3,
                     help="stage-3 lr (cosine-decayed; the reference's 1e-6 "
                          "needs ~80k sequential steps, see ablate_imitation)")
-    ap.add_argument("--rl-sched", action="store_true",
-                    help="cosine-decay the stage-2 lr over the run")
-    ap.add_argument("--eval-scenarios", type=int, default=16,
+    ap.add_argument("--rl-sched", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="cosine-decay the stage-2 lr over the run (the "
+                         "fd400sched ablation winner, runs/ablate_rl)")
+    ap.add_argument("--eval-scenarios", type=int, default=64,
                     help="closed-loop eval scenario count (success rate)")
     args = ap.parse_args()
 
@@ -109,7 +114,7 @@ def main():
 
     if args.full:
         pretrain_steps = args.pretrain_steps or 3000
-        rl_epochs = args.rl_epochs or 100
+        rl_epochs = args.rl_epochs or 400
         rl_batch = args.rl_batch or 256
         imi_epochs = args.imitation_epochs or 300
     else:

@@ -73,6 +73,27 @@ class TestParallelRiccati:
         rel = np.abs(Jp - Js) / np.maximum(np.abs(Js), 1.0)
         assert np.all(rel < 1e-2), f"cost mismatch: {rel}"
 
+    @pytest.mark.slow
+    def test_f32_full_solve_comparable_cost(self):
+        """float32 — the TPU dtype this small-batch-latency path exists for.
+        The associative-scan value-map compositions are worse-conditioned
+        than the sequential sweep in f32 (a single sweep's controls can
+        differ by O(0.1)); the contract that matters is that the full
+        regularized solve is NOT a degradation vs the sequential sweep at
+        the same precision: every lane's f32-parallel cost must be within
+        1% of the f32-sequential cost (measured agreement ~3e-4). The f64
+        solve is NOT the right golden here — on the kink-rich cost either
+        f32 mode may converge into a different basin than f64 does (observed
+        on one lane: both f32 modes agree at 21499 while f64 finds 11588)."""
+        kw = dict(horizon=30, max_iters=60, use_ddp=False, tol=1e-4, gtol=3e-4)
+        with jax.enable_x64(False):
+            s_seq32, s_par32 = _solve_pair(kw)
+        Js = np.asarray(s_seq32.cost, dtype=np.float64)
+        Jp = np.asarray(s_par32.cost, dtype=np.float64)
+        assert np.all(np.isfinite(Jp))
+        rel = np.abs(Jp - Js) / np.maximum(np.abs(Js), 1.0)
+        assert np.all(rel < 1e-2), f"f32 parallel cost off by {rel}"
+
     def test_parallel_is_jit_vmap_safe(self):
         """Factory contract: jittable + vmappable, finite outputs."""
         kw = dict(horizon=12, max_iters=5, use_ddp=False)
