@@ -47,6 +47,7 @@ class LiftedSolution(NamedTuple):
     control_traj: np.ndarray  # (H, 4)
     cost: float
     constr_violation: float   # max |dynamics defect| at the solution
+    kkt_residual: float       # max |projected Lagrangian gradient|
     result: object            # scipy OptimizeResult
 
 
@@ -71,6 +72,9 @@ def solve_lifted_oracle(
     maxiter: int = 2000,
     state_bound: float = np.inf,
     init: str = "rollout",
+    polish: bool = True,
+    polish_iters: int = 60,
+    polish_tol: float = 1e-9,
 ) -> LiftedSolution:
     """Cold-start lifted-NLP solve. Requires jax x64 (tests enable it).
 

@@ -21,7 +21,12 @@ def load_params(path: str, like=None):
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         if like is not None:
-            return ckptr.restore(path, item=like)
+            # explicit restore_args from `like`, so checkpoints restore onto
+            # the CURRENT backend's devices regardless of where they were
+            # saved (a TPU-trained artifacts/nn3_1 must load on a CPU clone;
+            # the saved sharding names devices that don't exist there)
+            restore_args = ocp.checkpoint_utils.construct_restore_args(like)
+            return ckptr.restore(path, item=like, restore_args=restore_args)
         return ckptr.restore(path)
 
 
