@@ -5,3 +5,7 @@ from learningagileflight_se3_tpu.oracle.numpy_reference import (
     np_total_cost,
 )
 from learningagileflight_se3_tpu.oracle.shooting import solve_shooting_oracle
+from learningagileflight_se3_tpu.oracle.lifted_nlp import (
+    LiftedSolution,
+    solve_lifted_oracle,
+)

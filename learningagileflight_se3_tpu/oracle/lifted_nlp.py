@@ -59,6 +59,268 @@ def _split(w, H):
     return X, U
 
 
+def _ipm_polish(w, lb, ub, fun, con, con_jac, obj_hess, con_hess,
+                n, m, iters=60, tol=1e-9, verbose=False):
+    """Primal-dual interior-point refinement of a near-optimal iterate of
+        min f(w)  s.t.  c(w) = 0,  lb <= w <= ub.
+
+    Reduced-system Newton (the standard IPOPT scheme, Waechter & Biegler):
+    bound multipliers z_l, z_u are eliminated through the complementarity
+    rows, giving a bordered sparse system over (dw_free, dv); steps are cut
+    by the fraction-to-boundary rule and a backtracking search on the
+    primal-dual residual norm; mu decreases once the residual at the current
+    barrier is met.  Returns (w, kkt_residual) with the residual measured at
+    mu = 0 (true KKT).  Pinned coordinates (lb == ub, the x0 block) are
+    eliminated from the variable set entirely."""
+    eq_pin = (ub - lb) <= 0.0
+    F = np.flatnonzero(~eq_pin)
+    has_lb = np.isfinite(lb) & ~eq_pin
+    has_ub = np.isfinite(ub) & ~eq_pin
+    tau = 0.995
+
+    # strictly interior start on finite sides. IPOPT-style push: WELL
+    # interior (1e-2 of the span), not epsilon-close — a bound-active seed
+    # coordinate left at distance 1e-8 gets z = mu/sl huge and the
+    # fraction-to-boundary rule then strangles every Newton step; pushing
+    # it in and letting the mu ladder walk it back converges fast instead.
+    span = np.where(np.isfinite(ub - lb), ub - lb, 1.0)
+    delta = np.minimum(1e-2 * np.maximum(1.0, span), 0.25 * span)
+    w = w.copy()
+    w[has_lb] = np.maximum(w[has_lb], (lb + delta)[has_lb])
+    w[has_ub] = np.minimum(w[has_ub], (ub - delta)[has_ub])
+
+    def slacks(w_):
+        sl = np.where(has_lb, w_ - lb, 1.0)
+        su = np.where(has_ub, ub - w_, 1.0)
+        return np.maximum(sl, 1e-300), np.maximum(su, 1e-300)
+
+    mu = 1.0
+    mu_min = 1e-11
+    sl, su = slacks(w)
+    z_l = np.where(has_lb, mu / sl, 0.0)
+    z_u = np.where(has_ub, mu / su, 0.0)
+    J = con_jac(w)
+    _, g = fun(w)
+    v, *_ = sp.linalg.lsqr(J[:, F].T, -(g - z_l + z_u)[F],
+                           atol=1e-14, btol=1e-14, iter_lim=10 * (m + n))
+
+    def residuals(w_, v_, zl_, zu_, mu_, g_, J_, c_):
+        sl_, su_ = slacks(w_)
+        r_d = (g_ + np.asarray(J_.T @ v_) - zl_ + zu_)[F]
+        r_l = np.where(has_lb, sl_ * zl_ - mu_, 0.0)
+        r_u = np.where(has_ub, su_ * zu_ - mu_, 0.0)
+        return r_d, c_, r_l, r_u
+
+    def res_norm(parts):
+        return max(np.abs(p).max(initial=0.0) for p in parts)
+
+    kkt_res = np.inf
+    best = [np.inf, w.copy()]  # (true-KKT residual, iterate) across phases
+    _dbg = [""]
+    phi_hist = []
+    for it in range(iters):
+        fval, g = fun(w)
+        J = con_jac(w)
+        c = con(w)
+        sl, su = slacks(w)
+        parts = residuals(w, v, z_l, z_u, mu, g, J, c)
+        phi = res_norm(parts)
+        # true (mu=0) KKT residual for reporting / termination
+        kkt_res = res_norm(residuals(w, v, z_l, z_u, 0.0, g, J, c))
+        if kkt_res < best[0]:
+            best[0], best[1] = kkt_res, w.copy()
+        if verbose:
+            doms = ["r_d", "c", "r_l", "r_u"]
+            dom = doms[int(np.argmax([np.abs(p).max(initial=0.0)
+                                      for p in parts]))]
+            print(f"[ipm] it {it} mu {mu:.1e} phi {phi:.3e} ({dom}) "
+                  f"kkt {kkt_res:.3e} cost {fval:.6f} "
+                  f"|c| {np.abs(c).max(initial=0):.2e}{_dbg[0]}")
+        _dbg[0] = ""
+        if kkt_res < tol:
+            break
+        # creep detection: when fraction-to-boundary jamming at a (near-)
+        # degenerate bound stalls the barrier iteration, hand over to the
+        # active-set crossover below instead of burning the budget
+        phi_hist.append(phi)
+        if len(phi_hist) > 6 and phi > 0.95 * phi_hist[-6]:
+            break
+        if phi < 10.0 * mu:
+            if mu <= mu_min:
+                break
+            mu = max(0.1 * mu, mu_min)
+            continue
+
+        r_d, _, r_l, r_u = parts
+        D = np.where(has_lb, z_l / sl, 0.0) + np.where(has_ub, z_u / su, 0.0)
+        rhs_d = -(r_d + (r_l / sl)[F] - (r_u / su)[F])
+        Hl = (obj_hess(w) + con_hess(w, v)).tocsr()
+        HFF = Hl[F][:, F] + sp.diags(D[F])
+        hscale = max(1.0, float(np.abs(HFF.diagonal()).max()))
+        JF = J[:, F]
+        nf = F.size
+        accepted = False
+        for lam in (0.0, 1e-8, 1e-6, 1e-4, 1e-2):
+            K = sp.bmat(
+                [[HFF + lam * hscale * sp.eye(nf), JF.T],
+                 [JF, -1e-13 * sp.eye(m)]], format="csc",
+            )
+            try:
+                sol = sp.linalg.spsolve(K, np.concatenate([rhs_d, -c]))
+            except Exception:
+                continue
+            if not np.all(np.isfinite(sol)):
+                continue
+            dw = np.zeros(n)
+            dw[F] = sol[:nf]
+            dv = sol[nf:]  # rhs_d carries J'v inside r_d, so this is the STEP
+            dz_l = np.where(has_lb, -(r_l + z_l * dw) / sl, 0.0)
+            dz_u = np.where(has_ub, -(r_u - z_u * dw) / su, 0.0)
+
+            # fraction-to-boundary step caps
+            def max_step(x, dx, active):
+                neg = active & (dx < 0)
+                return min(1.0, (tau * x[neg] / -dx[neg]).min(initial=1.0))
+
+            a_pri = min(max_step(sl, dw, has_lb), max_step(su, -dw, has_ub))
+            a_dua = min(max_step(z_l, dz_l, has_lb),
+                        max_step(z_u, dz_u, has_ub))
+            alpha = a_pri
+            for _ in range(12):
+                w_t = w + alpha * dw
+                zl_t = z_l + min(alpha, a_dua) * dz_l
+                zu_t = z_u + min(alpha, a_dua) * dz_u
+                v_t = v + alpha * dv
+                _, g_t = fun(w_t)
+                J_t = con_jac(w_t)
+                c_t = con(w_t)
+                if res_norm(residuals(w_t, v_t, zl_t, zu_t, mu,
+                                      g_t, J_t, c_t)) < phi * (1 - 1e-4 * alpha):
+                    w, v, z_l, z_u = w_t, v_t, zl_t, zu_t
+                    accepted = True
+                    _dbg[0] = (f"  lam {lam:.0e} alpha {alpha:.2e} "
+                               f"a_pri {a_pri:.2e} a_dua {a_dua:.2e}")
+                    break
+                alpha *= 0.5
+            if accepted:
+                break
+        if not accepted:
+            if mu <= mu_min:
+                break
+            mu = max(0.1 * mu, mu_min)  # try an easier barrier level
+
+    # ---- crossover: active-set Newton finish --------------------------
+    # Near degenerate bounds (slack and multiplier both small) the barrier
+    # iteration creeps (fraction-to-boundary caps alpha ~ 1e-4).  The IPM
+    # endpoint, however, identifies the active set reliably through the
+    # multipliers: active <=> z*sl balance tips to sl -> 0.  Pin those
+    # coordinates AT their bounds and Newton-iterate the pure equality KKT
+    # system on the rest — quadratic convergence to machine precision, the
+    # same interior-point -> simplex "crossover" LP solvers use.
+    sl, su = slacks(w)
+    rootmu = np.sqrt(np.maximum(mu, 1e-16))
+    # CONFIDENT actives only: slack far below the barrier gray zone, scaled
+    # by the multiplier strength.  Ambiguous near-bound coordinates stay
+    # free — they get clipped-and-pinned below if Newton pushes them out.
+    act_l = has_lb & (sl < rootmu * np.minimum(1.0, z_l))
+    act_u = has_ub & (su < rootmu * np.minimum(1.0, z_u))
+    w = np.where(act_l, lb, np.where(act_u, ub, w))
+    for it in range(30):
+        w = np.clip(w, lb, ub)
+        Fx = np.flatnonzero(~(eq_pin | act_l | act_u))
+        fval, g = fun(w)
+        J = con_jac(w)
+        c = con(w)
+        JF = J[:, Fx]
+        r_all = g + np.asarray(J.T @ v)
+        rd = r_all[Fx]
+        phi = max(np.abs(rd).max(initial=0.0), np.abs(c).max(initial=0.0))
+        kkt_full = max(
+            phi,
+            (-r_all[act_l]).max(initial=0.0),
+            (r_all[act_u]).max(initial=0.0),
+        )
+        if kkt_full < best[0]:
+            best[0], best[1] = kkt_full, w.copy()
+        if verbose:
+            print(f"[xover] it {it} phi {phi:.3e} cost {fval:.6f} "
+                  f"|c| {np.abs(c).max(initial=0):.2e} nF {Fx.size}")
+        if phi < tol:
+            kkt_res = phi
+            break
+        # release pinned coords whose bound multiplier has the wrong sign —
+        # only near feasibility, so release/pin cannot cycle while the
+        # defect is still being restored
+        if np.abs(c).max(initial=0.0) < 1e-7:
+            r_full = g + np.asarray(J.T @ v)
+            rel_l = act_l & (r_full < -1e-8)
+            rel_u = act_u & (r_full > 1e-8)
+            if rel_l.any() or rel_u.any():
+                act_l, act_u = act_l & ~rel_l, act_u & ~rel_u
+                continue
+        Hl = (obj_hess(w) + con_hess(w, v)).tocsr()
+        HFF = Hl[Fx][:, Fx]
+        nf = Fx.size
+        hscale = max(1.0, float(np.abs(HFF.diagonal()).max()))
+        accepted = False
+        for lam in (0.0, 1e-8, 1e-5, 1e-2):
+            K = sp.bmat([[HFF + lam * hscale * sp.eye(nf), JF.T],
+                         [JF, -1e-13 * sp.eye(m)]], format="csc")
+            try:
+                sol = sp.linalg.spsolve(K, np.concatenate([-rd, -c]))
+            except Exception:
+                continue
+            if not np.all(np.isfinite(sol)):
+                continue
+            dw = np.zeros(n)
+            dw[Fx] = sol[:nf]
+            dv = sol[nf:]
+            alpha = 1.0
+            for _ in range(25):
+                w_t = np.clip(w + alpha * dw, lb, ub)
+                v_t = v + alpha * dv
+                _, g_t = fun(w_t)
+                J_t = con_jac(w_t)
+                c_t = con(w_t)
+                phi_t = max(
+                    np.abs((g_t + np.asarray(J_t.T @ v_t))[Fx]).max(initial=0.0),
+                    np.abs(c_t).max(initial=0.0),
+                )
+                if phi_t < phi * (1 - 1e-4 * alpha):
+                    w, v, accepted = w_t, v_t, True
+                    kkt_res = phi_t
+                    break
+                alpha *= 0.5
+            if accepted:
+                break
+        if not accepted:
+            break
+        # pin any free coordinate the clipped step left ON its bound
+        tol_b = 1e-12
+        act_l = act_l | (has_lb & (w - lb <= tol_b))
+        act_u = act_u | (has_ub & (ub - w <= tol_b))
+    # report the final TRUE KKT residual (including any bound-sign error:
+    # a pinned coordinate whose multiplier wants to pull inward, or a free
+    # coordinate pushed outside its box, shows up here rather than hiding)
+    fval, g = fun(w)
+    J = con_jac(w)
+    c = con(w)
+    r_full = g + np.asarray(J.T @ v)
+    viol_box = np.maximum(lb - w, 0.0) + np.maximum(w - ub, 0.0)
+    kkt_res = max(
+        np.abs(r_full[Fx]).max(initial=0.0),
+        np.abs(c).max(initial=0.0),
+        viol_box.max(initial=0.0),
+        (-r_full[act_l]).max(initial=0.0),  # lower-bound mult must be >= 0
+        (r_full[act_u]).max(initial=0.0),
+    )
+    # on degenerate bound geometry the crossover can wander; never return
+    # anything worse than the best iterate seen across both phases
+    if kkt_res <= best[0]:
+        return w, float(kkt_res)
+    return best[1], float(best[0])
+
+
 def solve_lifted_oracle(
     params: QuadParams,
     weights: CostWeights,
@@ -71,19 +333,48 @@ def solve_lifted_oracle(
     t,
     maxiter: int = 2000,
     state_bound: float = np.inf,
-    init: str = "rollout",
+    init: str = "shooting",
+    method: str = "auto",
     polish: bool = True,
-    polish_iters: int = 60,
+    polish_iters: int = 150,
     polish_tol: float = 1e-9,
+    verbose: bool = False,
 ) -> LiftedSolution:
     """Cold-start lifted-NLP solve. Requires jax x64 (tests enable it).
 
     init='zeros' replicates the reference's w0 exactly (states at the ±1e20
     bound midpoint = 0, quad_OC.py:158) — IPOPT starts fine from there but
-    scipy's trust-constr wanders; init='rollout' (default) seeds the states
-    with the FEASIBLE rollout of the midpoint controls instead.  Both inits
-    are derived purely from problem data (never from the solver under test),
-    so the comparison stays cold/independent either way."""
+    scipy's trust-constr wanders; init='rollout' seeds the states with the
+    FEASIBLE rollout of the midpoint controls; init='shooting' (default)
+    runs the cold L-BFGS-B shooting globalization first.  ALL inits are
+    derived purely from problem data (never from the solver under test),
+    so the comparison stays cold/independent in every mode.
+
+    method='auto' (default): shooting-seeded Newton polish, falling back to
+    trust-constr + polish when the first pass does not reach kkt < 1e-6
+    (observed on scenarios whose cold midpoint rollout sits in a narrow
+    curved valley where L-BFGS-B exits after one line search)."""
+    if method == "auto":
+        kw = dict(maxiter=maxiter, state_bound=state_bound, polish=polish,
+                  polish_iters=polish_iters, polish_tol=polish_tol,
+                  verbose=verbose)
+        sol1 = solve_lifted_oracle(
+            params, weights, cfg, x0, u_last, goal_pos, tra_pos, tra_ang, t,
+            init="shooting", method="newton", **kw,
+        )
+        if sol1.kkt_residual < 1e-6:
+            return sol1
+        sol2 = solve_lifted_oracle(
+            params, weights, cfg, x0, u_last, goal_pos, tra_pos, tra_ang, t,
+            init="rollout", method="trust-constr", **kw,
+        )
+        ok1, ok2 = sol1.kkt_residual < 1e-6, sol2.kkt_residual < 1e-6
+        if ok1 and ok2:
+            return sol1 if sol1.cost <= sol2.cost else sol2
+        if ok1 or ok2:
+            return sol1 if ok1 else sol2
+        return sol1 if sol1.kkt_residual <= sol2.kkt_residual else sol2
+
     H, dt = cfg.horizon, cfg.dt
     if cfg.quantize_t:
         t = round(float(t) * 10.0) / 10.0
@@ -233,16 +524,62 @@ def solve_lifted_oracle(
     u_mid = 0.5 * (u_lb + u_ub)
     if init == "zeros":
         w0 = np.concatenate([x0] + [np.concatenate([u_mid, x_mid])] * H)
-    elif init == "rollout":
+    elif init in ("rollout", "shooting"):
         from learningagileflight_se3_tpu.dynamics.quadrotor import rollout
 
-        Xr = np.array(
-            rollout(jnp.asarray(x0, f64), jnp.tile(jnp.asarray(u_mid, f64), (H, 1)),
-                    dt, params)
-        )
+        if init == "shooting":
+            # globalization stage: cold L-BFGS-B on the SHOOTING objective
+            # from the same midpoint-controls init (oracle/shooting.py —
+            # derived from problem data only, never from the solver under
+            # test), whose endpoint seeds the lifted Newton-KKT polish.
+            # Rationale: this objective is stiff enough that no first-order
+            # method finishes (L-BFGS-B stalls ~0.3% above the optimum at
+            # 10k iterations); the cascade keeps the cold-start basin choice
+            # independent while the exact-Hessian polish supplies the
+            # quadratic tail the reference gets from IPOPT's Newton steps.
+            # The hard omega box enters by quadratic-penalty CONTINUATION
+            # (rho 10 -> 1e6, warm-started): the endpoint violates the box
+            # by only ~1e-3*bound, so the polish starts near-feasible.
+            from learningagileflight_se3_tpu.oracle.shooting import (
+                solve_shooting_oracle,
+            )
+            from dataclasses import replace as _cfg_replace
+
+            rho_ladder = [0.0]
+            if np.isfinite(cfg.w_bound):
+                rho_ladder = [10.0, 1e2, 1e3, 1e4, 1e5, 1e6]
+
+            # two problem-data-only starts: the reference's bound midpoint
+            # (quad_OC.py:142) and hover thrust (m*g/4 per rotor).  From
+            # some initial attitudes the midpoint-thrust cold rollout
+            # diverges (no-renorm Euler) and L-BFGS-B exits after one
+            # line-search failure; hover is the standard benign fallback.
+            u_hover = np.full(
+                NU, float(params.mass) * float(params.g) / NU
+            ).clip(u_lb, u_ub)
+            best_cost, U_s = np.inf, None
+            for u_start in (u_mid, u_hover):
+                U_c = np.tile(u_start, (H, 1))
+                cost_c = np.inf
+                for rho in rho_ladder:
+                    _, U_c, cost_c, _ = solve_shooting_oracle(
+                        params, weights,
+                        _cfg_replace(cfg, w_bound_weight=rho),
+                        np.asarray(x0), np.asarray(u_last),
+                        np.asarray(goal_pos), np.asarray(tra_pos),
+                        np.asarray(tra_ang), float(t),
+                        U_init=U_c, maxiter=maxiter,
+                    )
+                if cost_c < best_cost:
+                    best_cost, U_s = cost_c, U_c
+            U_seed = jnp.asarray(np.clip(U_s, u_lb, u_ub), f64)
+        else:
+            U_seed = jnp.tile(jnp.asarray(u_mid, f64), (H, 1))
+        Xr = np.array(rollout(jnp.asarray(x0, f64), U_seed, dt, params))
         Xr[:, 10:13] = np.clip(Xr[:, 10:13], x_lb[10:13], x_ub[10:13])
+        Useed = np.asarray(U_seed)
         w0 = np.concatenate(
-            [x0] + [np.concatenate([u_mid, Xr[k + 1]]) for k in range(H)]
+            [x0] + [np.concatenate([Useed[k], Xr[k + 1]]) for k in range(H)]
         )
     else:
         raise ValueError(init)
@@ -251,30 +588,106 @@ def solve_lifted_oracle(
         v, g = obj_vg(jnp.asarray(w, f64))
         return float(v), np.asarray(g)
 
-    nlc = NonlinearConstraint(
-        lambda w: np.asarray(con_fn(jnp.asarray(w, f64))),
-        0.0,
-        0.0,
-        jac=con_jac,
-        hess=con_hess,
-    )
-    res = minimize(
-        fun,
-        w0,
-        jac=True,
-        hess=obj_hess,
-        method="trust-constr",
-        bounds=list(zip(lb, ub)),
-        constraints=[nlc],
-        options={"maxiter": maxiter, "gtol": 1e-10, "xtol": 1e-14},
-    )
-    Xs, Us = _split(jnp.asarray(res.x, f64), H)
+    if method == "trust-constr":
+        nlc = NonlinearConstraint(
+            lambda w: np.asarray(con_fn(jnp.asarray(w, f64))),
+            0.0,
+            0.0,
+            jac=con_jac,
+            hess=con_hess,
+        )
+        res = minimize(
+            fun,
+            w0,
+            jac=True,
+            hess=obj_hess,
+            method="trust-constr",
+            bounds=list(zip(lb, ub)),
+            constraints=[nlc],
+            options={"maxiter": maxiter, "gtol": 1e-10, "xtol": 1e-14},
+        )
+        w_est = np.asarray(res.x, np.float64)
+    elif method == "al":
+        # Augmented-Lagrangian outer loop (LANCELOT-style) with L-BFGS-B
+        # inner solves: the inner problems carry only the BOX constraints
+        # (which L-BFGS-B handles natively and robustly), equality
+        # multipliers update by v <- v + mu*c, and mu escalates when the
+        # defect norm stalls.  Empirically far more reliable at this NLP's
+        # scale than scipy trust-constr, which stalls ~10% above the
+        # optimum at 2500 iterations.
+        def aug_lag(w, v, mu):
+            c = defects(w)
+            return objective(w) + jnp.dot(v, c) + 0.5 * mu * jnp.dot(c, c)
+
+        al_vg = jax.jit(jax.value_and_grad(aug_lag))
+
+        v_al = np.zeros(m)
+        mu = 1e2
+        w_est = w0.copy()
+        c_norm_prev = np.inf
+        nit_total = 0
+        bnds = list(zip(lb, ub))
+        for _ in range(maxiter // 100 if maxiter >= 100 else 1):
+            def al_fun(w, v_=v_al, mu_=mu):
+                val, g = al_vg(jnp.asarray(w, f64), jnp.asarray(v_, f64), mu_)
+                return float(val), np.asarray(g)
+
+            inner = minimize(
+                al_fun, w_est, jac=True, method="L-BFGS-B", bounds=bnds,
+                options={"maxiter": 400, "maxcor": 30,
+                         "ftol": 1e-16, "gtol": 1e-12},
+            )
+            w_est = np.asarray(inner.x, np.float64)
+            nit_total += inner.nit
+            c = np.asarray(con_fn(jnp.asarray(w_est, f64)))
+            c_norm = np.abs(c).max(initial=0.0)
+            v_al = v_al + mu * c
+            if c_norm < 1e-10:
+                break
+            if c_norm > 0.25 * c_norm_prev:
+                mu = min(mu * 10.0, 1e9)
+            c_norm_prev = c_norm
+
+        from types import SimpleNamespace
+
+        res = SimpleNamespace(x=w_est, niter=nit_total, method="al",
+                              mu=mu, status=0)
+    elif method == "newton":
+        # go straight from w0 to the Newton-KKT polish (the cascade mode:
+        # pair with init="shooting")
+        from types import SimpleNamespace
+
+        w_est = w0.copy()
+        res = SimpleNamespace(x=w_est, niter=0, method="newton", status=0)
+    else:
+        raise ValueError(method)
+
+    # ---- primal-dual interior-point polish ----------------------------
+    # The globalization stages reliably find the basin but stall well short
+    # of the optimum (first-order methods on a stiff 50-step rollout).
+    # Finish with the algorithm the reference's IPOPT applies to this very
+    # NLP (quad_OC.py:174): damped Newton on the primal-dual barrier KKT
+    # system with a decreasing mu ladder and fraction-to-boundary steps —
+    # no active-set combinatorics, quadratic tail convergence.
+    w = np.clip(w_est, lb, ub)
+    kkt_res = np.inf
+    if polish:
+        w, kkt_res = _ipm_polish(
+            w, lb, ub,
+            fun=fun,
+            con=lambda w_: np.asarray(con_fn(jnp.asarray(w_, f64))),
+            con_jac=con_jac, obj_hess=obj_hess, con_hess=con_hess,
+            n=n, m=m, iters=polish_iters, tol=polish_tol, verbose=verbose,
+        )
+
+    Xs, Us = _split(jnp.asarray(w, f64), H)
     return LiftedSolution(
         state_traj=np.asarray(Xs),
         control_traj=np.asarray(Us),
-        cost=float(res.fun),
+        cost=float(fun(w)[0]),
         constr_violation=float(
-            np.max(np.abs(np.asarray(con_fn(jnp.asarray(res.x, f64)))))
+            np.max(np.abs(np.asarray(con_fn(jnp.asarray(w, f64)))))
         ),
+        kkt_residual=float(kkt_res),
         result=res,
     )

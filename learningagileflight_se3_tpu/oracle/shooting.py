@@ -49,9 +49,16 @@ def solve_shooting_oracle(
     def objective(U_flat):
         U = U_flat.reshape(H, 4)
         X = rollout(x0, U, dt, params)
-        return total_trajectory_cost(
+        c = total_trajectory_cost(
             X, U, u_last, dt, t, goal_pos, tra_pos, tra_quat, weights
         )
+        if cfg.w_bound_weight > 0.0:
+            # mirror the solver's soft omega-box penalty (_stage_cost:
+            # stages x_0..x_{H-1}, quadratic hinge) so both optimize the
+            # same objective when the bound is enabled
+            viol = jnp.maximum(jnp.abs(X[:-1, 10:13]) - cfg.w_bound, 0.0)
+            c = c + cfg.w_bound_weight * jnp.sum(viol**2)
+        return c
 
     # test-only module: callers run under the CPU platform (tests/conftest.py)
     vg = jax.jit(jax.value_and_grad(objective))

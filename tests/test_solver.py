@@ -11,7 +11,6 @@ from learningagileflight_se3_tpu.config import CostWeights, QuadParams, SolverCo
 from learningagileflight_se3_tpu.core.rotations import axis_angle_to_quat, rodrigues_to_quat
 from learningagileflight_se3_tpu.costs.gate_costs import total_trajectory_cost
 from learningagileflight_se3_tpu.dynamics.quadrotor import rollout
-from learningagileflight_se3_tpu.oracle.shooting import solve_shooting_oracle
 from learningagileflight_se3_tpu.solver.boxqp import boxqp
 from learningagileflight_se3_tpu.solver.ilqr import make_batched_mpc_solver, make_mpc_solver
 
@@ -69,43 +68,12 @@ class TestBoxQP:
 
 
 class TestSolverVsOracle:
-    def test_short_horizon_matches_oracle(self):
-        """H=15 problem: iLQR and L-BFGS-B must find the same optimum."""
-        cfg = SolverConfig(horizon=15, max_iters=200)
-        x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
-        t = 1.0
-        solve = jax.jit(make_mpc_solver(PARAMS, WEIGHTS, cfg))
-        sol = solve(
-            jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
-            jnp.asarray(tra_pos), jnp.asarray(tra_ang), jnp.asarray(t),
-        )
-        X, U, cost, res = solve_shooting_oracle(
-            PARAMS, WEIGHTS, cfg, x0, u_last, goal, tra_pos, tra_ang, t,
-            U_init=np.asarray(sol.control_traj), maxiter=5000,
-        )
-        mae = np.mean(np.abs(np.asarray(sol.control_traj) - U))
-        assert mae < 1e-3, f"control MAE {mae}"
-        # oracle warm-started at our solution must not find meaningfully lower cost
-        assert float(sol.cost) - cost < 1e-2 * (abs(cost) + 1)
-
-    @pytest.mark.slow
-    def test_full_horizon_flagship(self):
-        """The BASELINE.md config-1 check: H=50 static gate, control-seq MAE
-        < 1e-3 vs the converged f64 oracle."""
-        cfg = SolverConfig(horizon=50, max_iters=200)
-        x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
-        solve = jax.jit(make_mpc_solver(PARAMS, WEIGHTS, cfg))
-        sol = solve(
-            jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
-            jnp.asarray(tra_pos), jnp.asarray(tra_ang), jnp.asarray(t),
-        )
-        assert bool(sol.converged)
-        X, U, cost, res = solve_shooting_oracle(
-            PARAMS, WEIGHTS, cfg, x0, u_last, goal, tra_pos, tra_ang, t,
-            U_init=np.asarray(sol.control_traj), maxiter=3000,
-        )
-        mae = np.mean(np.abs(np.asarray(sol.control_traj) - U))
-        assert mae < 1e-3, f"control MAE {mae}"
+    # NOTE: the historical warm-started L-BFS-B stationarity checks
+    # (oracle seeded with U_init=sol.control_traj) were superseded in round
+    # 3 by genuinely COLD-start independent verification against the lifted
+    # multiple-shooting NLP oracle — see tests/test_oracle_lifted.py
+    # (both solvers start from the reference's midpoint init,
+    # quad_OC.py:142; measured control MAE ~1e-8).
 
     @pytest.mark.slow
     def test_controls_within_bounds(self):
