@@ -48,12 +48,16 @@ def main():
 
     params_q = QuadParams()
     weights = CostWeights()
-    # f32 on TPU: relative tolerances sized to f32 resolution
-    # 45-iteration budget at the reference reg schedule: the measured knee of
-    # the quality/throughput tradeoff on this distribution (see stderr +
-    # BENCH JSON quality fields; 30 iters -> 12.5% converged / q90 excess
-    # 1.4%, 45 -> 35% / 0.65%, 60 iters would fall below the 1000x target)
-    solver_cfg = SolverConfig(horizon=50, max_iters=45, tol=1e-4, gtol=3e-4)
+    # f32 on TPU: relative tolerances sized to f32 resolution.
+    # Operating point (round-3 sweep, scripts/dev_bench_sweep.py): 50-iter
+    # budget with the line search capped at 4 trips/iteration (adaptive
+    # warm-started backtracking, ls_max_trips) — strictly dominates the
+    # round-2 point (45 iters, full 14-deep ladder): quality 0.947 vs 0.943
+    # frac-within-1%-of-converged AND ~1.5x the solves/s.  The cap turns
+    # 13.9 lock-step forward kernels per iteration into 4.0; failed lanes
+    # hand over to the Tassa reg schedule instead of walking the ladder.
+    solver_cfg = SolverConfig(horizon=50, max_iters=50, tol=1e-4, gtol=3e-4,
+                              ls_max_trips=4)
 
     batch = 2048  # throughput knee on v5e-1 (2048 > 1024 > 4096)
     if jax.default_backend() == "cpu":
@@ -128,7 +132,8 @@ def main():
         f"({solves_per_sec:.1f} solves/s; sync mode {sync_sps:.1f})")
     # ---- solution quality at the benchmark budget, measured in-bench ----
     # golden = fully-converged (150-iter) solves of the SAME scenarios
-    golden_cfg = SolverConfig(horizon=50, max_iters=150, tol=1e-4, gtol=3e-4)
+    golden_cfg = SolverConfig(horizon=50, max_iters=150, tol=1e-4, gtol=3e-4,
+                              ls_max_trips=4)
     solve_golden = jax.jit(make_batched_mpc_solver(params_q, weights, golden_cfg))
     sol_g = solve_golden(*rep_args[0])
     Jg = np.asarray(sol_g.cost)
@@ -152,6 +157,7 @@ def main():
         "horizon": 50,
         "platform": jax.default_backend(),
         "mean_solver_iters": round(float(sol.iterations.mean()), 1),
+        "ls_forward_kernels": int(sol.ls_evals),
         "converged_frac": round(conv_frac, 4),
         "median_cost_excess_vs_converged": float(np.median(excess)),
         "q90_cost_excess_vs_converged": float(np.percentile(excess, 90)),

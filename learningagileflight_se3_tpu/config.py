@@ -101,6 +101,25 @@ class SolverConfig:
     reg_grow: float = 8.0       # reg multiplier after a rejected step
     boxqp_iters: int = 6        # projected-Newton iterations for the 4-dim boxQP
     line_search_steps: int = 14 # backtracking powers of 0.5 (min alpha ~1.2e-4)
+    ls_adaptive: bool = True    # warm-start the backtracking at (last accepted
+                                # index - 1) instead of alpha=1 every iteration;
+                                # the -1 decay recovers full steps within a few
+                                # accepted iterations
+    ls_max_trips: int = 14      # alpha evaluations per solver iteration before
+                                # the search reports failure and hands the lane
+                                # to the reg schedule (grow x8, retry).
+                                # Default 14 = the full ladder (reference-
+                                # faithful).  The batched THROUGHPUT path sets
+                                # 4: in lock-step any ONE failing lane walking
+                                # the whole ladder costs the WHOLE batch a
+                                # forward kernel per depth — measured 13.9
+                                # forward kernels/iteration at batch 2048,
+                                # 4.0 with the cap, for +38% solves/s at equal
+                                # quality (bench.py: cap 4 @ 50 iters beats
+                                # uncapped @ 45 on both axes).  Single-problem
+                                # cold solves keep the full ladder: the cap
+                                # can tip a cold solve into a nearby worse
+                                # basin (observed +0.3% at H=15)
     quantize_t: bool = True     # round traversal time to 0.1 s (quad_policy.py:70)
     backward: str = "sequential"  # Riccati sweep: "sequential" (reverse scan)
                                   # or "parallel" (associative scan over the

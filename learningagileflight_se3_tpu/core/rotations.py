@@ -110,9 +110,19 @@ def rodrigues_to_axis_angle(w):
 
 def rodrigues_to_quat(w):
     """Composition Rd2Rp -> toQuaternion used throughout the reference
-    (quad_policy.py:71,203)."""
-    theta, axis = rodrigues_to_axis_angle(w)
-    return axis_angle_to_quat(theta, axis)
+    (quad_policy.py:71,203), in closed form:
+
+        theta/2 = atan(|w|)  =>  cos = 1/sqrt(1+|w|^2), sin*axis = w/sqrt(1+|w|^2)
+
+    This is algebraically the reference's composition with its 1e-8 axis
+    regularizer dropped — values agree within 1.5e-8 everywhere — but it is
+    SMOOTH at w = 0, where the norm-then-normalize form has a 0/0 gradient:
+    jax.grad through the composed form returns NaN at zero rotation, which
+    silently poisoned the analytic (PDP) learning signal's angle components
+    whenever the attitude passed through identity."""
+    w = jnp.asarray(w)
+    s = 1.0 / jnp.sqrt(1.0 + jnp.sum(w * w))
+    return jnp.concatenate([s[None], s * w])
 
 
 def dcm_to_quat(R):

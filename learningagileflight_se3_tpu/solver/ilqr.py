@@ -79,6 +79,10 @@ class MPCSolution(NamedTuple):
     gains_K: jnp.ndarray       # (H, 4, 17) feedback gains (bonus over reference)
     grad_norm: jnp.ndarray     # max projected |Q_u| (KKT residual proxy)
     reg_final: jnp.ndarray     # final LM regularization
+    # total line-search forward evaluations actually executed (scalar;
+    # lock-step over the batch in the pallas path — the throughput
+    # diagnostic bench.py reports). 0 where not tracked.
+    ls_evals: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 class _Problem(NamedTuple):
@@ -283,23 +287,25 @@ def make_mpc_solver(
         Zn = jnp.concatenate([z0[None], Zn], axis=0)
         return Zn, Un, c
 
-    def line_search(Z, U, J, kk, KK, prob, dV1, dV2):
+    def line_search(Z, U, J, kk, KK, prob, dV1, dV2, ls0):
         """Sequential first-acceptable-alpha backtracking (Armijo ratio>0.1).
 
-        A while_loop trying one alpha at a time: the typical accepted step is
-        alpha in {1, 0.5}, so this does 1-2 rollouts instead of the
-        line_search_steps rollouts a vmapped grid costs.  Under vmap each
-        lane tracks its own alpha index; accepted lanes no-op."""
+        A while_loop trying one alpha at a time, starting at index `ls0`
+        (0 = alpha 1; with cfg.ls_adaptive the caller warm-starts it at the
+        last accepted index - 1).  Under vmap each lane tracks its own
+        alpha index; accepted lanes no-op.  Returns the accepted index so
+        the caller can thread the warm start."""
         n_alpha = cfg.line_search_steps
         tiny = jnp.asarray(1e-300 if J.dtype == jnp.float64 else 1e-30, J.dtype)
 
         def cond(st):
             accepted, i, _, _, _ = st
-            return (~accepted) & (i < n_alpha)
+            return (~accepted) & (ls0 + i < n_alpha) & (i < cfg.ls_max_trips)
 
         def body(st):
             accepted, i, Zb, Ub, Jb = st
-            alpha = alphas.astype(J.dtype)[jnp.minimum(i, n_alpha - 1)]
+            idx = jnp.minimum(ls0 + i, n_alpha - 1)
+            alpha = alphas.astype(J.dtype)[idx]
             Zn, Un, Jn = forward(Z, U, kk, KK, prob, alpha)
             expected = -(alpha * dV1 + alpha * alpha * dV2)
             ok = (
@@ -314,8 +320,10 @@ def make_mpc_solver(
             return (accepted | ok, i + 1, Zb, Ub, Jb)
 
         st0 = (J != J, jnp.zeros((), jnp.int32) + (J * 0).astype(jnp.int32), Z, U, J)
-        accepted, _, Zb, Ub, Jb = jax.lax.while_loop(cond, body, st0)
-        return accepted, Zb, Ub, Jb
+        accepted, i_f, Zb, Ub, Jb = jax.lax.while_loop(cond, body, st0)
+        acc_idx = jnp.where(accepted, jnp.minimum(ls0 + i_f - 1, n_alpha - 1),
+                            ls0)
+        return accepted, Zb, Ub, Jb, acc_idx
 
     def solve(x0, u_last, goal_pos, tra_pos, tra_ang, t, U_init: Optional[jnp.ndarray] = None):
         dtype = jnp.result_type(x0.dtype, jnp.float32)
@@ -353,11 +361,11 @@ def make_mpc_solver(
         KK0 = jnp.zeros((H, NU, NZ), dtype) + J0 * 0.0
 
         def cond(state):
-            Z, U, J, KK, reg, done, it, pg = state
+            Z, U, J, KK, reg, done, it, pg, ls0 = state
             return (~done) & (it < cfg.max_iters)
 
         def body(state):
-            Z, U, J, KK, reg, done, it, _ = state
+            Z, U, J, KK, reg, done, it, _, ls0 = state
             derivs = derivatives(Z, U, prob)
             kk, KK_new, dV1, dV2, fail, pg = backward(derivs, U, reg)
 
@@ -382,7 +390,9 @@ def make_mpc_solver(
                 & sane
             )
 
-            accepted, Z_ls, U_ls, J_ls = line_search(Z, U, J, kk, KK_new, prob, dV1, dV2)
+            accepted, Z_ls, U_ls, J_ls, acc_idx = line_search(
+                Z, U, J, kk, KK_new, prob, dV1, dV2, ls0
+            )
             # `active`: under vmap the while_loop runs until ALL lanes finish,
             # so finished lanes (done OR at the iteration cap) must be strict
             # no-ops for batched == single
@@ -425,15 +435,22 @@ def make_mpc_solver(
                 & (stationary | stalled | (~improved & ~stationary & (reg > cfg.reg_max)))
             )
             it_n = it + active.astype(it.dtype)
-            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg)
+            if cfg.ls_adaptive:
+                ls_n = jnp.where(improved & active,
+                                 jnp.maximum(acc_idx - 1, 0), ls0)
+            else:
+                ls_n = ls0
+            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg, ls_n)
 
         # shard_map-safe inits: derive from the (possibly axis-varying) J0
         reg0 = J0 * 0.0 + cfg.reg_init
         pg0 = J0 * 0.0 + jnp.inf
         done0 = J0 != J0  # False unless the initial rollout is already NaN
         it0 = (J0 * 0.0).astype(jnp.int32)
-        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0)
-        Zf, Uf, Jf, KKf, regf, donef, itf, pgf = jax.lax.while_loop(cond, body, state0)
+        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0, it0)
+        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, _) = jax.lax.while_loop(
+            cond, body, state0
+        )
 
         sol = MPCSolution(
             state_traj=Zf[:, :NX],
@@ -487,14 +504,18 @@ def make_batched_mpc_solver(
             )
         return _pallas_solve
 
-    def solve_some(x0, u_last, goal, tra_pos, tra_ang, t, U_init=None):
+    def solve_some(x0, u_last, goal, tra_pos, tra_ang, t, U_init=None,
+                   max_iters=None):
         use_pallas = backend == "pallas" or (
             backend == "auto"
             and x0.shape[0] % 128 == 0
             and jax.default_backend() == "tpu"
         )
         if use_pallas:
-            return get_pallas()(x0, u_last, goal, tra_pos, tra_ang, t, U_init)
+            return get_pallas()(x0, u_last, goal, tra_pos, tra_ang, t, U_init,
+                                max_iters=max_iters)
+        if max_iters is not None:
+            raise ValueError("runtime max_iters needs the pallas backend")
         if U_init is None:
             return jax.vmap(lambda a, b, c, d, e, f: solve(a, b, c, d, e, f))(
                 x0, u_last, goal, tra_pos, tra_ang, t

@@ -121,8 +121,10 @@ def make_batched_mpc_solver_pallas(
         Zn, Un, c = _fused_rollout(Z[:-1], U, kk, KK, t_w, alpha, goal, tra_pos, tra_quat)
         return jnp.concatenate([Z[0][None], Zn], axis=0), Un, c
 
-    def line_search(Z, U, J, kk, KK, t_w, goal, tra_pos, tra_quat, dV1, dV2):
-        """Per-lane first-acceptable-alpha backtracking (ilqr.line_search)."""
+    def line_search(Z, U, J, kk, KK, t_w, goal, tra_pos, tra_quat, dV1, dV2,
+                    ls0):
+        """Per-lane first-acceptable-alpha backtracking (ilqr.line_search),
+        each lane starting at its warm index `ls0` (cfg.ls_adaptive)."""
         n_alpha = cfg.line_search_steps
         dtype = J.dtype
         tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
@@ -130,11 +132,13 @@ def make_batched_mpc_solver_pallas(
 
         def cond(st):
             accepted, i, _, _, _ = st
-            return jnp.any((~accepted) & (i < n_alpha))
+            return jnp.any(
+                (~accepted) & (ls0 + i < n_alpha) & (i < cfg.ls_max_trips)
+            )
 
         def body(st):
             accepted, i, Zb, Ub, Jb = st
-            alpha = alphas[jnp.minimum(i, n_alpha - 1)]  # (B,)
+            alpha = alphas[jnp.minimum(ls0 + i, n_alpha - 1)]  # (B,)
             Zn, Un, Jn = forward(Z, U, kk, KK, t_w, goal, tra_pos, tra_quat, alpha)
             expected = -(alpha * dV1 + alpha * alpha * dV2)
             ok = (
@@ -146,16 +150,29 @@ def make_batched_mpc_solver_pallas(
             Zb = jnp.where(ok[None, :, None], Zn, Zb)
             Ub = jnp.where(ok[None, :, None], Un, Ub)
             Jb = jnp.where(ok, Jn, Jb)
-            active = (~accepted) & (i < n_alpha)
+            active = ((~accepted) & (ls0 + i < n_alpha)
+                      & (i < cfg.ls_max_trips))
             return (accepted | ok, i + active.astype(i.dtype), Zb, Ub, Jb)
 
         B = J.shape[0]
         st0 = (jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), Z, U, J)
-        accepted, _, Zb, Ub, Jb = jax.lax.while_loop(cond, body, st0)
-        return accepted, Zb, Ub, Jb
+        accepted, i_fin, Zb, Ub, Jb = jax.lax.while_loop(cond, body, st0)
+        acc_idx = jnp.where(
+            accepted, jnp.minimum(ls0 + i_fin - 1, n_alpha - 1), ls0
+        )
+        # kernel trips executed this iteration (lock-step: one forward per
+        # trip for the WHOLE batch) = the deepest per-lane backtrack depth
+        return accepted, Zb, Ub, Jb, acc_idx, jnp.max(i_fin)
 
     def solve(x0, u_last, goal_pos, tra_pos, tra_ang, t,
-              U_init: Optional[jnp.ndarray] = None):
+              U_init: Optional[jnp.ndarray] = None,
+              max_iters=None):
+        """max_iters: optional RUNTIME iteration cap (defaults to
+        cfg.max_iters).  Pass a jnp.int32 scalar to sweep budgets without
+        recompiling — the while_loop condition is data-dependent anyway."""
+        if max_iters is None:
+            max_iters = cfg.max_iters
+        max_iters = jnp.asarray(max_iters, jnp.int32)
         B = x0.shape[0]
         assert B % LANES == 0, f"pallas path needs batch % {LANES} == 0, got {B}"
         dtype = jnp.result_type(x0.dtype, jnp.float32)
@@ -186,11 +203,11 @@ def make_batched_mpc_solver_pallas(
         KK0 = jnp.zeros((H, B, NU, NZ), dtype)
 
         def cond(state):
-            Z, U, J, KK, reg, done, it, pg = state
-            return jnp.any((~done) & (it < cfg.max_iters))
+            Z, U, J, KK, reg, done, it, pg, ls_n, ls0 = state
+            return jnp.any((~done) & (it < max_iters))
 
         def body(state):
-            Z, U, J, KK, reg, done, it, _ = state
+            Z, U, J, KK, reg, done, it, _, ls_n, ls0 = state
             kk, KK_new, dV1, dV2, fail, pg = backward(
                 Z, U, t_w, goal, tra_pos, Hatt, att0, reg
             )
@@ -204,10 +221,11 @@ def make_batched_mpc_solver_pallas(
                 & ~fail
             )
 
-            accepted, Z_ls, U_ls, J_ls = line_search(
-                Z, U, J, kk, KK_new, t_w, goal, tra_pos, tra_quat, dV1, dV2
+            accepted, Z_ls, U_ls, J_ls, acc_idx, ls_trips = line_search(
+                Z, U, J, kk, KK_new, t_w, goal, tra_pos, tra_quat, dV1, dV2,
+                ls0,
             )
-            active = ~done & (it < cfg.max_iters)
+            active = ~done & (it < max_iters)
             improved = accepted & ~fail & ~stationary & active
 
             Z_n = jnp.where(improved[None, :, None], Z_ls, Z)
@@ -239,14 +257,21 @@ def make_batched_mpc_solver_pallas(
                 & (stationary | stalled | (~improved & ~stationary & (reg > cfg.reg_max)))
             )
             it_n = it + active.astype(it.dtype)
-            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg)
+            if cfg.ls_adaptive:
+                ls0_n = jnp.where(improved & active,
+                                  jnp.maximum(acc_idx - 1, 0), ls0)
+            else:
+                ls0_n = ls0
+            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg,
+                    ls_n + ls_trips, ls0_n)
 
         reg0 = jnp.full((B,), cfg.reg_init, dtype)
         pg0 = jnp.full((B,), jnp.inf, dtype)
         done0 = jnp.zeros((B,), bool)
         it0 = jnp.zeros((B,), jnp.int32)
-        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0)
-        Zf, Uf, Jf, KKf, regf, donef, itf, pgf = jax.lax.while_loop(
+        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0,
+                  jnp.zeros((), jnp.int32), jnp.zeros((B,), jnp.int32))
+        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, ls_f, _) = jax.lax.while_loop(
             cond, body, state0
         )
 
@@ -260,6 +285,7 @@ def make_batched_mpc_solver_pallas(
             else jnp.zeros((0,), dtype),
             grad_norm=pgf,
             reg_final=regf,
+            ls_evals=ls_f,
         )
 
     return solve

@@ -63,7 +63,8 @@ def make_rl_train_step(
         signal = make_fd_gradient(params_q, weights, solver_cfg, reward_cfg, grad_cfg)
         flip = 1.0  # fd returns the NEGATED ascent gradient already
     elif grad_mode == "analytic":
-        ana = make_analytic_gradient(params_q, weights, solver_cfg, reward_cfg)
+        ana = make_analytic_gradient(params_q, weights, solver_cfg, reward_cfg,
+                                     grad_cfg=grad_cfg)
 
         def signal(*args):
             g, r = ana(*args)

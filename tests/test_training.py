@@ -267,3 +267,73 @@ class TestCheckpointResume:
         assert not np.isfinite(np.asarray(rewards)[1])
         for leaf in jax.tree_util.tree_leaves(p2):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestShardedFaultInjection:
+    """Failure masking proven UNDER shard_map, not just single-device
+    (VERDICT r2 stretch item: chaos-test the sharded RL step).  Three
+    injected faults — NaN state, off-distribution magnitude, exploding
+    warm-start-scale position — each on a different shard of an 8-device
+    mesh; the masked sharded update must (a) stay finite and (b) equal the
+    masked unsharded update bit-for-near-bit."""
+
+    def _setup(self):
+        model = make_dnn1()
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 9)))
+        opt = optax.adam(1e-4)
+        return model, params, opt, opt.init(params)
+
+    def _poisoned_batch(self):
+        scen = sample_scenarios(jax.random.PRNGKey(11), 8)
+        scen = scen.at[1, 0].set(jnp.nan)       # NaN start (shard 1)
+        scen = scen.at[3, :3].set(1e6)          # absurd start position (shard 3)
+        scen = scen.at[6, 3:6].set(-1e6)        # absurd goal (shard 6)
+        return scen
+
+    def test_sharded_masked_update_finite_and_matches_unsharded(self):
+        assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+        model, params, opt, opt_state = self._setup()
+        scen = self._poisoned_batch()
+
+        step_u = make_rl_train_step(model, opt, PQ, CW, TINY, RC)
+        pu, _, mru, ru = step_u(params, opt_state, scen)
+
+        mesh = make_mesh(jax.devices()[:8])
+        step_s = make_rl_train_step(model, opt, PQ, CW, TINY, RC, mesh=mesh)
+        ps, _, mrs, rs = step_s(
+            replicate(mesh, params), replicate(mesh, opt_state),
+            shard_batch(mesh, scen),
+        )
+        # the NaN lane is reported non-finite on both paths
+        assert not np.isfinite(np.asarray(ru)[1])
+        assert not np.isfinite(np.asarray(rs)[1])
+        # masked updates are finite despite three poisoned shards
+        for leaf in jax.tree_util.tree_leaves(ps):
+            assert np.isfinite(np.asarray(leaf)).all()
+        # sharded == unsharded with failures in the batch (the psum over
+        # masked signals must not reintroduce the poison)
+        for a, b in zip(jax.tree_util.tree_leaves(pu),
+                        jax.tree_util.tree_leaves(ps)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+    def test_clean_lanes_unaffected_by_poisoned_shardmates(self):
+        """The healthy scenarios' rewards must be identical whether or not
+        poisoned scenarios share the batch (per-lane isolation)."""
+        model, params, opt, opt_state = self._setup()
+        clean = sample_scenarios(jax.random.PRNGKey(11), 8)
+        poisoned = self._poisoned_batch()
+        mesh = make_mesh(jax.devices()[:8])
+        step = make_rl_train_step(model, opt, PQ, CW, TINY, RC, mesh=mesh)
+        _, _, _, r_clean = step(
+            replicate(mesh, params), replicate(mesh, opt_state),
+            shard_batch(mesh, clean),
+        )
+        _, _, _, r_mixed = step(
+            replicate(mesh, params), replicate(mesh, opt_state),
+            shard_batch(mesh, poisoned),
+        )
+        healthy = [0, 2, 4, 5, 7]
+        np.testing.assert_allclose(
+            np.asarray(r_clean)[healthy], np.asarray(r_mixed)[healthy],
+            rtol=1e-6,
+        )
