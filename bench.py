@@ -57,7 +57,7 @@ def main():
     # 13.9 lock-step forward kernels per iteration into 4.0; failed lanes
     # hand over to the Tassa reg schedule instead of walking the ladder.
     solver_cfg = SolverConfig(horizon=50, max_iters=50, tol=1e-4, gtol=3e-4,
-                              ls_max_trips=4)
+                              ls_adaptive=True, ls_max_trips=4)
 
     batch = 2048  # throughput knee on v5e-1 (2048 > 1024 > 4096)
     if jax.default_backend() == "cpu":
@@ -133,7 +133,7 @@ def main():
     # ---- solution quality at the benchmark budget, measured in-bench ----
     # golden = fully-converged (150-iter) solves of the SAME scenarios
     golden_cfg = SolverConfig(horizon=50, max_iters=150, tol=1e-4, gtol=3e-4,
-                              ls_max_trips=4)
+                              ls_adaptive=True, ls_max_trips=4)
     solve_golden = jax.jit(make_batched_mpc_solver(params_q, weights, golden_cfg))
     sol_g = solve_golden(*rep_args[0])
     Jg = np.asarray(sol_g.cost)

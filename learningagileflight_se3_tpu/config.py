@@ -101,10 +101,17 @@ class SolverConfig:
     reg_grow: float = 8.0       # reg multiplier after a rejected step
     boxqp_iters: int = 6        # projected-Newton iterations for the 4-dim boxQP
     line_search_steps: int = 14 # backtracking powers of 0.5 (min alpha ~1.2e-4)
-    ls_adaptive: bool = True    # warm-start the backtracking at (last accepted
-                                # index - 1) instead of alpha=1 every iteration;
-                                # the -1 decay recovers full steps within a few
-                                # accepted iterations
+    ls_adaptive: bool = False   # warm-start the backtracking at (last accepted
+                                # index - 1) instead of alpha=1 every iteration.
+                                # Default OFF: on hard cold single solves the
+                                # warm start can crawl at small alphas (the
+                                # H=50 flagship needs 69 iterations fixed vs
+                                # >300 adaptive).  The batched THROUGHPUT path
+                                # turns it on together with ls_max_trips=4,
+                                # where it pays: +1.2pp frac-within-1%-of-
+                                # golden at equal budget and it is what makes
+                                # the trip cap safe (each lane retries near
+                                # its own working step size)
     ls_max_trips: int = 14      # alpha evaluations per solver iteration before
                                 # the search reports failure and hands the lane
                                 # to the reg schedule (grow x8, retry).
