@@ -158,6 +158,7 @@ def main():
         "platform": jax.default_backend(),
         "mean_solver_iters": round(float(sol.iterations.mean()), 1),
         "ls_forward_kernels": int(sol.ls_evals),
+        "compile_s": round(compile_s, 1),
         "converged_frac": round(conv_frac, 4),
         "median_cost_excess_vs_converged": float(np.median(excess)),
         "q90_cost_excess_vs_converged": float(np.percentile(excess, 90)),

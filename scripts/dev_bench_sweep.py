@@ -33,9 +33,9 @@ def main():
     params_q, weights = QuadParams(), CostWeights()
     cap = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     cfg = SolverConfig(horizon=50, max_iters=45, tol=1e-4, gtol=3e-4,
-                       ls_max_trips=cap)
+                       ls_adaptive=True, ls_max_trips=cap)
     print(f"ls_max_trips={cap}", flush=True)
-    batch = 2048
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
 
     def make_args(seed):
         k = jax.random.PRNGKey(seed)
