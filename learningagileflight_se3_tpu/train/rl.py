@@ -38,7 +38,10 @@ from learningagileflight_se3_tpu.config import (
 from learningagileflight_se3_tpu.models.mlp import make_dnn1, surrogate_inner_loss
 from learningagileflight_se3_tpu.models.sampler import sample_scenarios, scenario_to_problem
 from learningagileflight_se3_tpu.parallel.mesh import SCENARIO_AXIS
-from learningagileflight_se3_tpu.policy import make_analytic_gradient, make_fd_gradient
+from learningagileflight_se3_tpu.policy import (
+    make_analytic_gradient,
+    make_fd_gradient_batched,
+)
 
 
 def make_rl_train_step(
@@ -60,37 +63,55 @@ def make_rl_train_step(
     When `mesh` is given, the step is shard_map'ed: scenarios sharded over the
     scenario axis, params replicated, gradients psum-reduced over ICI."""
     if grad_mode == "fd":
-        signal = make_fd_gradient(params_q, weights, solver_cfg, reward_cfg, grad_cfg)
+        # natively-batched: all 9*B probe solves are ONE batched-solver call
+        # (fused Pallas kernels on TPU), not a vmapped per-scenario stack —
+        # semantics identical to vmap(make_fd_gradient), tested in
+        # tests/test_training.py::TestRLStep::test_batched_fd_matches_vmapped
+        fdb = make_fd_gradient_batched(
+            params_q, weights, solver_cfg, reward_cfg, grad_cfg
+        )
+
+        def batch_signals(nn_params, scen_b):
+            probs = jax.vmap(scenario_to_problem)(scen_b)
+            outs = model.apply(nn_params, scen_b)
+            return fdb(
+                probs["x0"],
+                jnp.zeros((scen_b.shape[0], 4), scen_b.dtype),
+                probs["goal_pos"],
+                probs["gate_pts"],
+                outs[:, 0:3],
+                outs[:, 3:6],
+                outs[:, 6],
+            )
+
         flip = 1.0  # fd returns the NEGATED ascent gradient already
     elif grad_mode == "analytic":
         ana = make_analytic_gradient(params_q, weights, solver_cfg, reward_cfg,
                                      grad_cfg=grad_cfg)
 
-        def signal(*args):
-            g, r = ana(*args)
-            return -g, r  # match the reference's neg-grad convention
+        def per_scenario_dp(nn_params, scen):
+            prob = scenario_to_problem(scen)
+            out = model.apply(nn_params, scen)
+            g, reward = ana(
+                prob["x0"],
+                jnp.zeros(4, scen.dtype),
+                prob["goal_pos"],
+                prob["gate_pts"],
+                out[0:3],
+                out[3:6],
+                out[6],
+            )
+            return -g, reward  # match the reference's neg-grad convention
+
+        def batch_signals(nn_params, scen_b):
+            return jax.vmap(lambda s: per_scenario_dp(nn_params, s))(scen_b)
 
         flip = 1.0
     else:
         raise ValueError(grad_mode)
 
-    def per_scenario_dp(nn_params, scen):
-        """dp (7,) learning signal + reward for one 9-dim scenario."""
-        prob = scenario_to_problem(scen)
-        out = model.apply(nn_params, scen)
-        dp, reward = signal(
-            prob["x0"],
-            jnp.zeros(4, scen.dtype),
-            prob["goal_pos"],
-            prob["gate_pts"],
-            out[0:3],
-            out[3:6],
-            out[6],
-        )
-        return dp, reward
-
     def batch_grads(nn_params, scen_b):
-        dp, rewards = jax.vmap(lambda s: per_scenario_dp(nn_params, s))(scen_b)
+        dp, rewards = batch_signals(nn_params, scen_b)
         # failure detection (SURVEY.md section 5): the reference uses IPOPT's
         # output unconditionally (quad_OC.py:174-175) so a diverged solve
         # silently poisons the gradient; here non-finite per-scenario signals

@@ -337,3 +337,33 @@ class TestShardedFaultInjection:
             np.asarray(r_clean)[healthy], np.asarray(r_mixed)[healthy],
             rtol=1e-6,
         )
+
+
+class TestBatchedFDSignal:
+    def test_batched_fd_matches_vmapped(self):
+        """make_fd_gradient_batched must equal vmap(make_fd_gradient)
+        exactly (same solves, different batching) — the RL step's
+        throughput path may not change the learning signal."""
+        from learningagileflight_se3_tpu.policy import (
+            make_fd_gradient,
+            make_fd_gradient_batched,
+        )
+
+        fd1 = make_fd_gradient(PQ, CW, TINY, RC)
+        fdb = jax.jit(make_fd_gradient_batched(PQ, CW, TINY, RC))
+        scen = sample_scenarios(jax.random.PRNGKey(9), 4)
+        probs = jax.vmap(scenario_to_problem)(scen)
+        tra_pos = jnp.zeros((4, 3))
+        tra_ang = jax.random.normal(jax.random.PRNGKey(1), (4, 3)) * 0.2
+        t = jnp.full((4,), 0.4)
+        u_last = jnp.zeros((4, 4))
+
+        g_v, r_v = jax.jit(jax.vmap(
+            lambda x0, gl, pts, tp, ta, ti: fd1(x0, u_last[0], gl, pts, tp, ta, ti)
+        ))(probs["x0"], probs["goal_pos"], probs["gate_pts"],
+           tra_pos, tra_ang, t)
+        g_b, r_b = fdb(probs["x0"], u_last, probs["goal_pos"],
+                       probs["gate_pts"], tra_pos, tra_ang, t)
+        np.testing.assert_allclose(np.asarray(r_b), np.asarray(r_v), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_v),
+                                   rtol=1e-10, atol=1e-12)
