@@ -4,7 +4,7 @@ gym_pybullet_drone/nn3_1.pth + last_inputs.npy, consumed at main.py:42).
 This repo commits the full trained stack under artifacts/: DNN1 pretrained
 (nn_pre), DNN1 after RL (nn_deep), DNN2 (nn3_1), the training curves, and
 the closed-loop evidence (summary.json: 96.9% success over 64 scenarios;
-bench_success.json: 95.3% over 128 held-out seeds).  These tests are the
+bench_success.json: 96.1% over 128 held-out seeds).  These tests are the
 "fresh clone" guarantee: the committed weights load and fly.
 """
 
@@ -63,7 +63,7 @@ class TestCommittedArtifacts:
     def test_committed_dnn2_flies_closed_loop(self):
         """Load the committed DNN2 and fly 2 fresh scenarios end-to-end
         (500-step moving-gate sim); at least one must traverse the gate.
-        (TPU-scale evidence: artifacts/bench_success.json, 95.3% of 128.)"""
+        (TPU-scale evidence: artifacts/bench_success.json, 96.1% of 128.)"""
         from learningagileflight_se3_tpu.sim.closed_loop import (
             evaluate_closed_loop,
             make_closed_loop_sim,
