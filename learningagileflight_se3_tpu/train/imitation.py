@@ -42,7 +42,6 @@ from learningagileflight_se3_tpu.geometry.gate import (
 )
 from learningagileflight_se3_tpu.models.mlp import make_dnn1, make_dnn2
 from learningagileflight_se3_tpu.models.sampler import sample_scenarios, scenario_to_problem
-from learningagileflight_se3_tpu.solver.ilqr import make_mpc_solver
 
 
 def traversal_pose_to_window(gate_pts, tra_pos, tra_ang):
@@ -90,18 +89,18 @@ def make_imitation_collect(
     sit at the origin; the pitch rotation is still unaccounted for."""
     if consistent_labels and not window_frame:
         raise ValueError("consistent_labels requires window_frame=True")
-    solve = make_mpc_solver(params_q, weights, solver_cfg, return_gains=False)
+    from learningagileflight_se3_tpu.solver.ilqr import make_batched_mpc_solver
+
+    bsolve = make_batched_mpc_solver(params_q, weights, solver_cfg,
+                                     return_gains=False)
     H = solver_cfg.horizon
     dt = solver_cfg.dt
 
-    def one(nn1_params, scen):
+    def one(nn1_params, scen, states):
+        """Post-solve relabeling for one scenario; `states` (H,13) is the
+        teacher MPC trajectory, steps 0..H-1 (nn_train_2.py:74-77)."""
         prob = scenario_to_problem(scen)
         out = model1.apply(nn1_params, scen)
-        sol = solve(
-            prob["x0"], jnp.zeros(4, scen.dtype), prob["goal_pos"],
-            out[0:3], out[3:6], out[6],
-        )
-        states = sol.state_traj[:H]  # (H, 13) — steps 0..H-1 (nn_train_2.py:74-77)
         if window_frame:
             states = jax.vmap(
                 lambda s: transform_state_to_window(prob["gate_pts"], s)
@@ -136,7 +135,23 @@ def make_imitation_collect(
         return inputs, labels
 
     def collect(nn1_params, scen_b):
-        inputs, labels = jax.vmap(lambda s: one(nn1_params, s))(scen_b)
+        # all B teacher solves as ONE natively-batched solver call (the
+        # fused Pallas kernels on TPU); pad to the 128-lane multiple there
+        # (the pad lanes repeat scenario 0 and are discarded).  Other
+        # backends take the vmapped XLA path unpadded — identical semantics.
+        B = scen_b.shape[0]
+        pad = (-B) % 128 if jax.default_backend() == "tpu" else 0
+        scen_p = jnp.concatenate(
+            [scen_b, jnp.tile(scen_b[:1], (pad, 1))]) if pad else scen_b
+        probs = jax.vmap(scenario_to_problem)(scen_p)
+        outs = model1.apply(nn1_params, scen_p)
+        sols = bsolve(
+            probs["x0"], jnp.zeros((B + pad, 4), scen_b.dtype),
+            probs["goal_pos"], outs[:, 0:3], outs[:, 3:6], outs[:, 6],
+        )
+        states = sols.state_traj[:B, :H]  # (B, H, 13)
+        inputs, labels = jax.vmap(
+            lambda s, st: one(nn1_params, s, st))(scen_b, states)
         return inputs.reshape(-1, 18), labels.reshape(-1, 7)
 
     return collect
