@@ -43,6 +43,13 @@ def main():
     ap.add_argument("--seed", type=int, default=2024)
     ap.add_argument("--static-gate", action="store_true",
                     help="zero gate velocity/rotation (ablation)")
+    ap.add_argument("--estimate-gate-motion", action="store_true",
+                    help="replace the ground-truth gate velocity feed with "
+                         "the sim/estimator.py Kalman filter over (noisy) "
+                         "gate-pose observations")
+    ap.add_argument("--gate-obs-noise", type=float, default=0.0,
+                    help="std (m) of the gate corner observation noise fed "
+                         "to the KF (with --estimate-gate-motion)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -83,6 +90,8 @@ def main():
     sim = make_closed_loop_sim(
         model2, QuadParams(), CostWeights(), solver_cfg,
         motion_cfg=motion, steps=args.steps,
+        estimate_gate_motion=args.estimate_gate_motion,
+        gate_obs_noise=args.gate_obs_noise,
     )
 
     key = jax.random.PRNGKey(args.seed)
@@ -115,6 +124,10 @@ def main():
         "mean_final_dist_m": round(float(final_d.mean()), 4),
         "median_final_dist_m": round(float(np.median(final_d)), 4),
         "gate_motion": "static" if args.static_gate else "moving",
+        "gate_velocity_source": (
+            f"kalman_filter(obs_noise={args.gate_obs_noise})"
+            if args.estimate_gate_motion else "ground_truth"
+        ),
         "ckpt": args.ckpt,
         "seed": int(args.seed),
         "platform": jax.default_backend(),
