@@ -264,6 +264,63 @@ def make_analytic_gradient(
     return analytic_gradient
 
 
+def make_analytic_gradient_batched(
+    params: QuadParams,
+    weights: CostWeights,
+    solver_cfg: SolverConfig,
+    reward_cfg: RewardConfig,
+    grad_cfg: LearnedGradConfig = LearnedGradConfig(),
+    shaped: bool = True,
+):
+    """Batched analytic (PDP) learning signal: semantics identical to
+    `jax.vmap(make_analytic_gradient(...))` but the forward solves are ONE
+    `make_batched_mpc_solver` call (fused Pallas kernels on TPU) through
+    `make_differentiable_control_solver_batched`, and the implicit-function
+    VJP is the vmapped per-problem kernel.
+
+    ana(x0 (B,13), u_last (B,4), goal (B,3), gate_pts (B,4,3), tra_pos (B,3),
+        tra_ang (B,3), t (B,)) -> (ascent grad (B,7), reward (B,))"""
+    from learningagileflight_se3_tpu.solver.diff import (
+        make_differentiable_control_solver_batched,
+    )
+
+    solve_u = make_differentiable_control_solver_batched(
+        params, weights, solver_cfg)
+    H = solver_cfg.horizon
+
+    def rewards_sum(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t):
+        U = solve_u(x0, u_last, goal, tra_pos, tra_ang, t)     # (B,H,4)
+        X = jax.vmap(lambda x, u: rollout(x, u, solver_cfg.dt, params))(x0, U)
+
+        def one(Xi, pts, gl):
+            r, *_ = trajectory_reward(Xi, pts, gl, reward_cfg, H)
+            return r
+
+        r = jax.vmap(one)(X, gate_pts, goal)                   # (B,)
+        # each lane's reward depends only on its own theta, so the gradient
+        # of the SUM is the per-lane gradient stack
+        return jnp.sum(r), r
+
+    def analytic_gradient(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t):
+        (_, r), (g_tp, g_ta, g_t) = jax.value_and_grad(
+            rewards_sum, argnums=(4, 5, 6), has_aux=True
+        )(x0, u_last, goal, gate_pts, tra_pos, tra_ang, t)
+        if not shaped:
+            return jnp.concatenate([g_tp, g_ta, g_t[:, None]], axis=1), r
+        d, c = grad_cfg.delta, grad_cfg.clip
+        g_pos = jnp.clip(d * g_tp, -c, c) * grad_cfg.pos_scale
+        g_ang = jnp.clip(d * g_ta, -c, c) / (
+            grad_cfg.ang_scale_a * tra_ang**2 + grad_cfg.ang_scale_b
+        )
+        up = grad_cfg.t_probe * g_t > grad_cfg.t_threshold
+        dn = -grad_cfg.t_probe * g_t > grad_cfg.t_threshold
+        g_time = jnp.where(up, grad_cfg.t_step,
+                           jnp.where(dn, -grad_cfg.t_step, 0.0))
+        return jnp.concatenate([g_pos, g_ang, g_time[:, None]], axis=1), r
+
+    return analytic_gradient
+
+
 class PolicySearchResult(NamedTuple):
     """Mirror of run_quad.optimize's return list (quad_policy.py:144-147)."""
 

@@ -58,42 +58,19 @@ def _shooting_cost(U, x0, u_last, goal, tra_pos, tra_ang, t, dt, params, weights
     return total_trajectory_cost(X, U, u_last, dt, t, goal, tra_pos, tra_quat, weights)
 
 
-def make_differentiable_control_solver(
-    params: QuadParams,
-    weights: CostWeights,
-    cfg: SolverConfig,
-):
-    """Returns solve_u(x0, u_last, goal, tra_pos, tra_ang, t) -> U* (H,4) with
-    analytic VJPs w.r.t. (tra_pos, tra_ang, t) [and goal].  x0/u_last get zero
-    cotangents (they are scenario data, never learned — deep_learning.py:24-32).
+def _make_vjp_kernel(params: QuadParams, weights: CostWeights, cfg: SolverConfig):
+    """The implicit-function VJP for ONE problem:
+    vjp(U*, x0, u_last, goal, tra_pos, tra_ang, t, U_bar) -> cotangents
+    (zeros_x0, zeros_u_last, goal_bar, tra_pos_bar, tra_ang_bar, t_bar).
 
-    NOTE: uses quantize_t=False internally — the 0.1 s rounding
-    (quad_policy.py:70) has zero gradient; the analytic path keeps t smooth
-    (SURVEY.md section 7 hard-part 2).
-    """
-    import dataclasses
-
-    cfg = dataclasses.replace(cfg, quantize_t=False)
-    solve = make_mpc_solver(params, weights, cfg, return_gains=False)
+    Pure scans over the horizon — vmaps cleanly, so it serves both the
+    single-problem and the natively-batched differentiable solvers."""
     H, dt = cfg.horizon, cfg.dt
     dyn_taylor = DynamicsTaylor(params, dt)
     cost_quadratics = make_cost_quadratics(weights, cfg)
     final_quadratics = make_final_quadratics(weights)
 
-    def _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t):
-        sol = solve(x0, u_last, goal, tra_pos, tra_ang, t)
-        return sol.control_traj
-
-    @jax.custom_vjp
-    def solve_u(x0, u_last, goal, tra_pos, tra_ang, t):
-        return _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t)
-
-    def fwd(x0, u_last, goal, tra_pos, tra_ang, t):
-        U = _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t)
-        return U, (U, x0, u_last, goal, tra_pos, tra_ang, t)
-
-    def bwd(res, U_bar):
-        U, x0, u_last, goal, tra_pos, tra_ang, t = res
+    def vjp(U, x0, u_last, goal, tra_pos, tra_ang, t, U_bar):
         dtype = U.dtype
 
         # rebuild problem data at the solution
@@ -199,6 +176,91 @@ def make_differentiable_control_solver(
             -g_ta,
             -g_t,
         )
+
+    return vjp
+
+
+def make_differentiable_control_solver(
+    params: QuadParams,
+    weights: CostWeights,
+    cfg: SolverConfig,
+):
+    """Returns solve_u(x0, u_last, goal, tra_pos, tra_ang, t) -> U* (H,4) with
+    analytic VJPs w.r.t. (tra_pos, tra_ang, t) [and goal].  x0/u_last get zero
+    cotangents (they are scenario data, never learned — deep_learning.py:24-32).
+
+    NOTE: uses quantize_t=False internally — the 0.1 s rounding
+    (quad_policy.py:70) has zero gradient; the analytic path keeps t smooth
+    (SURVEY.md section 7 hard-part 2).
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, quantize_t=False)
+    solve = make_mpc_solver(params, weights, cfg, return_gains=False)
+    vjp_kernel = _make_vjp_kernel(params, weights, cfg)
+
+    def _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t):
+        sol = solve(x0, u_last, goal, tra_pos, tra_ang, t)
+        return sol.control_traj
+
+    @jax.custom_vjp
+    def solve_u(x0, u_last, goal, tra_pos, tra_ang, t):
+        return _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t)
+
+    def fwd(x0, u_last, goal, tra_pos, tra_ang, t):
+        U = _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t)
+        return U, (U, x0, u_last, goal, tra_pos, tra_ang, t)
+
+    def bwd(res, U_bar):
+        U, x0, u_last, goal, tra_pos, tra_ang, t = res
+        return vjp_kernel(U, x0, u_last, goal, tra_pos, tra_ang, t, U_bar)
+
+    solve_u.defvjp(fwd, bwd)
+    return solve_u
+
+
+def make_differentiable_control_solver_batched(
+    params: QuadParams,
+    weights: CostWeights,
+    cfg: SolverConfig,
+):
+    """Batched differentiable MPC: solve_u(x0 (B,13), ..., t (B,)) ->
+    U* (B,H,4), same custom VJP as make_differentiable_control_solver but
+    the forward pass is ONE make_batched_mpc_solver call (the fused Pallas
+    kernel path on TPU, padded to the 128-lane multiple; vmapped XLA
+    elsewhere) and the backward rule is the vmapped implicit-function VJP
+    kernel (already pure per-problem scans)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, quantize_t=False)
+    from learningagileflight_se3_tpu.solver.ilqr import make_batched_mpc_solver
+
+    bsolve = make_batched_mpc_solver(params, weights, cfg, return_gains=False)
+    vjp_kernel = _make_vjp_kernel(params, weights, cfg)
+
+    def _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t):
+        B = x0.shape[0]
+        pad = (-B) % 128 if jax.default_backend() == "tpu" else 0
+
+        def padb(a):
+            return jnp.concatenate([a, jnp.tile(a[:1], (pad,) + (1,) * (a.ndim - 1))]) if pad else a
+
+        sol = bsolve(padb(x0), padb(u_last), padb(goal),
+                     padb(tra_pos), padb(tra_ang), padb(t))
+        return sol.control_traj[:B]
+
+    @jax.custom_vjp
+    def solve_u(x0, u_last, goal, tra_pos, tra_ang, t):
+        return _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t)
+
+    def fwd(x0, u_last, goal, tra_pos, tra_ang, t):
+        U = _fwd_solve(x0, u_last, goal, tra_pos, tra_ang, t)
+        return U, (U, x0, u_last, goal, tra_pos, tra_ang, t)
+
+    def bwd(res, U_bar):
+        U, x0, u_last, goal, tra_pos, tra_ang, t = res
+        return jax.vmap(vjp_kernel)(U, x0, u_last, goal, tra_pos, tra_ang,
+                                    t, U_bar)
 
     solve_u.defvjp(fwd, bwd)
     return solve_u

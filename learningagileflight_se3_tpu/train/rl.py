@@ -41,7 +41,7 @@ from learningagileflight_se3_tpu.models.mlp import make_dnn1, surrogate_inner_lo
 from learningagileflight_se3_tpu.models.sampler import sample_scenarios, scenario_to_problem
 from learningagileflight_se3_tpu.parallel.mesh import SCENARIO_AXIS
 from learningagileflight_se3_tpu.policy import (
-    make_analytic_gradient,
+    make_analytic_gradient_batched,
     make_fd_gradient_batched,
 )
 
@@ -88,25 +88,25 @@ def make_rl_train_step(
 
         flip = 1.0  # fd returns the NEGATED ascent gradient already
     elif grad_mode == "analytic":
-        ana = make_analytic_gradient(params_q, weights, solver_cfg, reward_cfg,
-                                     grad_cfg=grad_cfg)
-
-        def per_scenario_dp(nn_params, scen):
-            prob = scenario_to_problem(scen)
-            out = model.apply(nn_params, scen)
-            g, reward = ana(
-                prob["x0"],
-                jnp.zeros(4, scen.dtype),
-                prob["goal_pos"],
-                prob["gate_pts"],
-                out[0:3],
-                out[3:6],
-                out[6],
-            )
-            return -g, reward  # match the reference's neg-grad convention
+        # batched like the fd path: one fused-kernel solver call forward,
+        # vmapped implicit-function VJP backward
+        anab = make_analytic_gradient_batched(
+            params_q, weights, solver_cfg, reward_cfg, grad_cfg=grad_cfg
+        )
 
         def batch_signals(nn_params, scen_b):
-            return jax.vmap(lambda s: per_scenario_dp(nn_params, s))(scen_b)
+            probs = jax.vmap(scenario_to_problem)(scen_b)
+            outs = model.apply(nn_params, scen_b)
+            g, rewards = anab(
+                probs["x0"],
+                jnp.zeros((scen_b.shape[0], 4), scen_b.dtype),
+                probs["goal_pos"],
+                probs["gate_pts"],
+                outs[:, 0:3],
+                outs[:, 3:6],
+                outs[:, 6],
+            )
+            return -g, rewards  # match the reference's neg-grad convention
 
         flip = 1.0
     else:

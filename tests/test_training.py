@@ -367,3 +367,32 @@ class TestBatchedFDSignal:
         np.testing.assert_allclose(np.asarray(r_b), np.asarray(r_v), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_v),
                                    rtol=1e-10, atol=1e-12)
+
+    def test_batched_analytic_matches_vmapped(self):
+        """make_analytic_gradient_batched must equal
+        vmap(make_analytic_gradient): same forward solves (the batched XLA
+        backend is the vmapped single solver on CPU) and the same
+        implicit-function VJP kernel."""
+        from learningagileflight_se3_tpu.policy import (
+            make_analytic_gradient,
+            make_analytic_gradient_batched,
+        )
+
+        ana1 = make_analytic_gradient(PQ, CW, TINY, RC)
+        anab = jax.jit(make_analytic_gradient_batched(PQ, CW, TINY, RC))
+        scen = sample_scenarios(jax.random.PRNGKey(21), 3)
+        probs = jax.vmap(scenario_to_problem)(scen)
+        tra_pos = jnp.zeros((3, 3))
+        tra_ang = jax.random.normal(jax.random.PRNGKey(2), (3, 3)) * 0.2
+        t = jnp.full((3,), 0.4)
+        u_last = jnp.zeros((3, 4))
+
+        g_v, r_v = jax.jit(jax.vmap(
+            lambda x0, gl, pts, tp, ta, ti: ana1(x0, u_last[0], gl, pts, tp, ta, ti)
+        ))(probs["x0"], probs["goal_pos"], probs["gate_pts"],
+           tra_pos, tra_ang, t)
+        g_b, r_b = anab(probs["x0"], u_last, probs["goal_pos"],
+                        probs["gate_pts"], tra_pos, tra_ang, t)
+        np.testing.assert_allclose(np.asarray(r_b), np.asarray(r_v), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_v),
+                                   rtol=1e-8, atol=1e-12)
