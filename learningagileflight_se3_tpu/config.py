@@ -127,6 +127,31 @@ class SolverConfig:
                                 # cold solves keep the full ladder: the cap
                                 # can tip a cold solve into a nearby worse
                                 # basin (observed +0.3% at H=15)
+    no_progress_iters: int = 0  # progress-WINDOW termination: terminate a
+                                # lane when an entire window of this many
+                                # iterations produced less than tol*(|J|+1)
+                                # CUMULATIVE cost decrease, regardless of the
+                                # KKT residual.  Measured necessity (r4
+                                # audit, scripts/dev_convergence_audit.py):
+                                # at f32 on TPU, 835/2048 bench lanes sit
+                                # within 1e-3 of the converged cost but hold
+                                # pg_rel ~1e-2 — the true gradient stays
+                                # large at the f32 rollout's resolution
+                                # floor, so neither the gtol nor the stall
+                                # gate ever fires and the lane burns the
+                                # full iteration cap (and every warm-started
+                                # 10 Hz replan ran to the cap).  A WINDOW is
+                                # the only cut that proved quality-safe:
+                                # consecutive-rejection strikes and model-
+                                # decrement gates both cut lanes mid-descent
+                                # (stiff reg-escalation phases legally make
+                                # zero progress for several iterations
+                                # before a big accepted step).  Default 0 =
+                                # OFF: the floor is an f32 throughput/
+                                # deployment heuristic (set ~8 at those
+                                # operating points — bench.py, closed-loop
+                                # deployment); the f64 oracle path keeps
+                                # run-to-tolerance semantics.
     quantize_t: bool = True     # round traversal time to 0.1 s (quad_policy.py:70)
     backward: str = "sequential"  # Riccati sweep: "sequential" (reverse scan)
                                   # or "parallel" (associative scan over the

@@ -81,8 +81,11 @@ class MPCSolution(NamedTuple):
     reg_final: jnp.ndarray     # final LM regularization
     # total line-search forward evaluations actually executed (scalar;
     # lock-step over the batch in the pallas path — the throughput
-    # diagnostic bench.py reports). 0 where not tracked.
-    ls_evals: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # diagnostic bench.py reports). 0 where not tracked. A Python int
+    # default keeps the module import free of JAX-array side effects
+    # (materializing an array here would initialize the backend before
+    # user code can call jax.config.update).
+    ls_evals: jnp.ndarray = 0
 
 
 class _Problem(NamedTuple):
@@ -287,24 +290,40 @@ def make_mpc_solver(
         Zn = jnp.concatenate([z0[None], Zn], axis=0)
         return Zn, Un, c
 
-    def line_search(Z, U, J, kk, KK, prob, dV1, dV2, ls0):
+    def line_search(Z, U, J, kk, KK, prob, dV1, dV2, ls0, deep, skip):
         """Sequential first-acceptable-alpha backtracking (Armijo ratio>0.1).
 
         A while_loop trying one alpha at a time, starting at index `ls0`
         (0 = alpha 1; with cfg.ls_adaptive the caller warm-starts it at the
         last accepted index - 1).  Under vmap each lane tracks its own
         alpha index; accepted lanes no-op.  Returns the accepted index so
-        the caller can thread the warm start."""
+        the caller can thread the warm start.
+
+        `deep`: escalation flag — the lane sweeps the FULL ladder range at
+        coarse stride (indices 0, s, 2s, ... with s = ls_max_trips) instead
+        of its warm window.  Same trip bill as the capped search, but the
+        sweep spans every step-size decade, so a lane wedged against a step
+        the warm window never reaches gets unstuck without the lock-step
+        cost of walking all 14 rungs (r4: full-depth walks doubled the
+        batch's forward-kernel bill for 1.35x less throughput).
+        `skip`: finished lanes enter pre-accepted and execute ZERO trips —
+        without this, done lanes keep walking the ladder (lock-step with the
+        batch under vmap), billing trips to the whole batch every remaining
+        iteration."""
         n_alpha = cfg.line_search_steps
+        stride = cfg.ls_max_trips
+        n_deep = -(-n_alpha // stride)  # ceil: trips to span the ladder
         tiny = jnp.asarray(1e-300 if J.dtype == jnp.float64 else 1e-30, J.dtype)
 
         def cond(st):
             accepted, i, _, _, _ = st
-            return (~accepted) & (ls0 + i < n_alpha) & (i < cfg.ls_max_trips)
+            max_trips = jnp.where(deep, n_deep, cfg.ls_max_trips)
+            return (~accepted) & (jnp.where(deep, i * stride, ls0 + i) < n_alpha) \
+                & (i < max_trips)
 
         def body(st):
             accepted, i, Zb, Ub, Jb = st
-            idx = jnp.minimum(ls0 + i, n_alpha - 1)
+            idx = jnp.minimum(jnp.where(deep, i * stride, ls0 + i), n_alpha - 1)
             alpha = alphas.astype(J.dtype)[idx]
             Zn, Un, Jn = forward(Z, U, kk, KK, prob, alpha)
             expected = -(alpha * dV1 + alpha * alpha * dV2)
@@ -319,10 +338,16 @@ def make_mpc_solver(
             Jb = jnp.where(ok, Jn, Jb)
             return (accepted | ok, i + 1, Zb, Ub, Jb)
 
-        st0 = (J != J, jnp.zeros((), jnp.int32) + (J * 0).astype(jnp.int32), Z, U, J)
+        st0 = (skip | (J != J),
+               jnp.zeros((), jnp.int32) + (J * 0).astype(jnp.int32), Z, U, J)
         accepted, i_f, Zb, Ub, Jb = jax.lax.while_loop(cond, body, st0)
-        acc_idx = jnp.where(accepted, jnp.minimum(ls0 + i_f - 1, n_alpha - 1),
-                            ls0)
+        acc_idx = jnp.where(
+            accepted,
+            jnp.minimum(jnp.where(deep, (i_f - 1) * stride, ls0 + i_f - 1),
+                        n_alpha - 1),
+            ls0)
+        # a skipped lane reports accepted with an unchanged iterate; the
+        # caller's `active` mask already ignores it entirely
         return accepted, Zb, Ub, Jb, acc_idx
 
     def solve(x0, u_last, goal_pos, tra_pos, tra_ang, t, U_init: Optional[jnp.ndarray] = None):
@@ -361,11 +386,11 @@ def make_mpc_solver(
         KK0 = jnp.zeros((H, NU, NZ), dtype) + J0 * 0.0
 
         def cond(state):
-            Z, U, J, KK, reg, done, it, pg, ls0 = state
+            Z, U, J, KK, reg, done, it, pg, ls0, n_np, J_chk, w_it = state
             return (~done) & (it < cfg.max_iters)
 
         def body(state):
-            Z, U, J, KK, reg, done, it, _, ls0 = state
+            Z, U, J, KK, reg, done, it, _, ls0, n_np, J_chk, w_it = state
             derivs = derivatives(Z, U, prob)
             kk, KK_new, dV1, dV2, fail, pg = backward(derivs, U, reg)
 
@@ -390,13 +415,28 @@ def make_mpc_solver(
                 & sane
             )
 
-            accepted, Z_ls, U_ls, J_ls, acc_idx = line_search(
-                Z, U, J, kk, KK_new, prob, dV1, dV2, ls0
-            )
             # `active`: under vmap the while_loop runs until ALL lanes finish,
             # so finished lanes (done OR at the iteration cap) must be strict
             # no-ops for batched == single
             active = ~done & (it < cfg.max_iters)
+            # ladder escalation: a lane on a failure streak (2+ consecutive
+            # rejections) whose model still predicts a meaningful decrease
+            # sweeps the FULL ladder range at coarse stride — the trip cap
+            # alone can wedge exactly these lanes against a step size the
+            # warm window never reaches (r4 audit: cutting them at the cap
+            # cost ~1% of lanes ~10x the optimal cost).  Finished lanes are
+            # skipped outright so only live streaks ever bill deep trips.
+            # Only meaningful under a capped ladder: with the full ladder the
+            # coarse sweep would SHRINK the search (stride = full depth).
+            if cfg.ls_max_trips < cfg.line_search_steps:
+                deep = ((n_np >= 2)
+                        & (decrement > cfg.tol * (jnp.abs(J) + 1.0))
+                        & active)
+            else:
+                deep = active & False
+            accepted, Z_ls, U_ls, J_ls, acc_idx = line_search(
+                Z, U, J, kk, KK_new, prob, dV1, dV2, ls0, deep, ~active
+            )
             improved = accepted & ~fail & ~stationary & active
 
             Z_n = jnp.where(improved, Z_ls, Z)
@@ -430,9 +470,33 @@ def make_mpc_solver(
                 & grad_smallish
                 & sane
             )
+            # progress-window floor (cfg.no_progress_iters = window length
+            # W): terminate a lane when an ENTIRE W-iteration window made
+            # less than tol*(|J|+1) cumulative cost progress.  Rationale
+            # (r4 audit): at f32 the TRUE gradient can stay O(1e-2) relative
+            # at the rollout's resolution floor, so the KKT gates never fire
+            # even though no step can improve the cost.  The window is the
+            # only cut that proved quality-safe: consecutive-rejection
+            # strikes and model-decrement gates both cut lanes mid-descent
+            # (stiff reg-escalation phases legally make zero progress for
+            # several iterations before a big accepted step) and cost 30%
+            # of lanes >1% excess; a window only fires when NOTHING in W
+            # iterations moved the cost, which mid-descent phases never
+            # sustain.
+            np_n = jnp.where(active, jnp.where(improved, 0, n_np + 1), n_np)
+            w_n = w_it + active.astype(w_it.dtype)
+            window_full = (cfg.no_progress_iters > 0) & (
+                w_n >= cfg.no_progress_iters
+            )
+            window_progress = (J_chk - J_n) > cfg.tol * (jnp.abs(J_n) + 1.0)
+            floor_exit = window_full & ~window_progress & sane
+            # reset the window checkpoint whenever the window elapses
+            J_chk_n = jnp.where(window_full & active, J_n, J_chk)
+            w_n = jnp.where(window_full & active, 0, w_n)
             done_n = done | (
                 active
-                & (stationary | stalled | (~improved & ~stationary & (reg > cfg.reg_max)))
+                & (stationary | stalled | floor_exit
+                   | (~improved & ~stationary & (reg > cfg.reg_max)))
             )
             it_n = it + active.astype(it.dtype)
             if cfg.ls_adaptive:
@@ -440,15 +504,16 @@ def make_mpc_solver(
                                  jnp.maximum(acc_idx - 1, 0), ls0)
             else:
                 ls_n = ls0
-            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg, ls_n)
+            return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg, ls_n, np_n,
+                    J_chk_n, w_n)
 
         # shard_map-safe inits: derive from the (possibly axis-varying) J0
         reg0 = J0 * 0.0 + cfg.reg_init
         pg0 = J0 * 0.0 + jnp.inf
         done0 = J0 != J0  # False unless the initial rollout is already NaN
         it0 = (J0 * 0.0).astype(jnp.int32)
-        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0, it0)
-        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, _) = jax.lax.while_loop(
+        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0, it0, it0, J0, it0)
+        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, _, _, _, _) = jax.lax.while_loop(
             cond, body, state0
         )
 
@@ -461,6 +526,7 @@ def make_mpc_solver(
             gains_K=KKf if return_gains else jnp.zeros((0,), dtype),
             grad_norm=pgf,
             reg_final=regf,
+            ls_evals=itf * 0,  # not tracked on this path; traced (vmap-safe)
         )
         return sol
 

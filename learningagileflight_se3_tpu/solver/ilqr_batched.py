@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -70,7 +72,11 @@ def make_batched_mpc_solver_pallas(
     dt = cfg.dt
     lb = cfg.u_lb
     ub = cfg.u_ub
-    alphas_f = 0.5 ** jnp.arange(cfg.line_search_steps)
+    # numpy, NOT jnp: this factory may run lazily inside a jit trace (the
+    # backend="auto" wrapper builds it on first call) — a jnp constant
+    # created there would be a tracer captured in the closure and leak into
+    # later traces (UnexpectedTracerError on the second trace).
+    alphas_f = 0.5 ** np.arange(cfg.line_search_steps)
     final_quadratics = make_final_quadratics(weights)
 
     def _fused_rollout(Z_ref, U_ref, kk, KK, t_w, alpha, goal, tra_pos, tra_quat):
@@ -122,23 +128,35 @@ def make_batched_mpc_solver_pallas(
         return jnp.concatenate([Z[0][None], Zn], axis=0), Un, c
 
     def line_search(Z, U, J, kk, KK, t_w, goal, tra_pos, tra_quat, dV1, dV2,
-                    ls0):
+                    ls0, deep, skip):
         """Per-lane first-acceptable-alpha backtracking (ilqr.line_search),
-        each lane starting at its warm index `ls0` (cfg.ls_adaptive)."""
+        each lane starting at its warm index `ls0` (cfg.ls_adaptive).
+        `deep` (B,) bool: escalated lanes sweep the FULL ladder range at
+        coarse stride instead of their warm window — same trip bill as the
+        capped search (see ilqr.py).
+        `skip` (B,) bool: finished lanes enter pre-accepted and bill ZERO
+        lock-step trips (done lanes walking the ladder was most of the
+        batch's forward-kernel cost once most lanes had terminated)."""
         n_alpha = cfg.line_search_steps
+        stride = cfg.ls_max_trips
+        n_deep = -(-n_alpha // stride)
         dtype = J.dtype
         tiny = jnp.asarray(1e-300 if dtype == jnp.float64 else 1e-30, dtype)
-        alphas = alphas_f.astype(dtype)
+        alphas = jnp.asarray(alphas_f, dtype)
+        max_trips = jnp.where(deep, n_deep, cfg.ls_max_trips)
 
         def cond(st):
             accepted, i, _, _, _ = st
             return jnp.any(
-                (~accepted) & (ls0 + i < n_alpha) & (i < cfg.ls_max_trips)
+                (~accepted)
+                & (jnp.where(deep, i * stride, ls0 + i) < n_alpha)
+                & (i < max_trips)
             )
 
         def body(st):
             accepted, i, Zb, Ub, Jb = st
-            alpha = alphas[jnp.minimum(ls0 + i, n_alpha - 1)]  # (B,)
+            alpha = alphas[jnp.minimum(
+                jnp.where(deep, i * stride, ls0 + i), n_alpha - 1)]  # (B,)
             Zn, Un, Jn = forward(Z, U, kk, KK, t_w, goal, tra_pos, tra_quat, alpha)
             expected = -(alpha * dV1 + alpha * alpha * dV2)
             ok = (
@@ -150,15 +168,19 @@ def make_batched_mpc_solver_pallas(
             Zb = jnp.where(ok[None, :, None], Zn, Zb)
             Ub = jnp.where(ok[None, :, None], Un, Ub)
             Jb = jnp.where(ok, Jn, Jb)
-            active = ((~accepted) & (ls0 + i < n_alpha)
-                      & (i < cfg.ls_max_trips))
+            active = ((~accepted)
+                      & (jnp.where(deep, i * stride, ls0 + i) < n_alpha)
+                      & (i < max_trips))
             return (accepted | ok, i + active.astype(i.dtype), Zb, Ub, Jb)
 
         B = J.shape[0]
-        st0 = (jnp.zeros(B, bool), jnp.zeros(B, jnp.int32), Z, U, J)
+        st0 = (skip, jnp.zeros(B, jnp.int32), Z, U, J)
         accepted, i_fin, Zb, Ub, Jb = jax.lax.while_loop(cond, body, st0)
         acc_idx = jnp.where(
-            accepted, jnp.minimum(ls0 + i_fin - 1, n_alpha - 1), ls0
+            accepted,
+            jnp.minimum(jnp.where(deep, (i_fin - 1) * stride, ls0 + i_fin - 1),
+                        n_alpha - 1),
+            ls0,
         )
         # kernel trips executed this iteration (lock-step: one forward per
         # trip for the WHOLE batch) = the deepest per-lane backtrack depth
@@ -203,11 +225,11 @@ def make_batched_mpc_solver_pallas(
         KK0 = jnp.zeros((H, B, NU, NZ), dtype)
 
         def cond(state):
-            Z, U, J, KK, reg, done, it, pg, ls_n, ls0 = state
+            Z, U, J, KK, reg, done, it, pg, ls_n, ls0, n_np, J_chk, w_it = state
             return jnp.any((~done) & (it < max_iters))
 
         def body(state):
-            Z, U, J, KK, reg, done, it, _, ls_n, ls0 = state
+            Z, U, J, KK, reg, done, it, _, ls_n, ls0, n_np, J_chk, w_it = state
             kk, KK_new, dV1, dV2, fail, pg = backward(
                 Z, U, t_w, goal, tra_pos, Hatt, att0, reg
             )
@@ -221,11 +243,19 @@ def make_batched_mpc_solver_pallas(
                 & ~fail
             )
 
+            active = ~done & (it < max_iters)
+            # ladder escalation for live failure streaks (see ilqr.py);
+            # finished lanes are skipped outright; no-op under a full ladder
+            if cfg.ls_max_trips < cfg.line_search_steps:
+                deep = ((n_np >= 2)
+                        & (decrement > cfg.tol * (jnp.abs(J) + 1.0))
+                        & active)
+            else:
+                deep = active & False
             accepted, Z_ls, U_ls, J_ls, acc_idx, ls_trips = line_search(
                 Z, U, J, kk, KK_new, t_w, goal, tra_pos, tra_quat, dV1, dV2,
-                ls0,
+                ls0, deep, ~active,
             )
-            active = ~done & (it < max_iters)
             improved = accepted & ~fail & ~stationary & active
 
             Z_n = jnp.where(improved[None, :, None], Z_ls, Z)
@@ -252,9 +282,26 @@ def make_batched_mpc_solver_pallas(
                 & (reg >= 64.0)
                 & grad_smallish
             )
+            # no-progress floor — identical semantics to ilqr.py (see the
+            # cfg.no_progress_iters comment there): consecutive iterations
+            # without a meaningful decrease terminate the lane.
+            sane = jnp.isfinite(J) & (jnp.abs(J) < 1e12)
+            # progress-window floor (see ilqr.py for the full rationale):
+            # terminate when an entire W-iteration window made < tol
+            # cumulative progress — the only cut that proved quality-safe
+            np_n = jnp.where(active, jnp.where(improved, 0, n_np + 1), n_np)
+            w_n = w_it + active.astype(w_it.dtype)
+            window_full = (cfg.no_progress_iters > 0) & (
+                w_n >= cfg.no_progress_iters
+            )
+            window_progress = (J_chk - J_n) > cfg.tol * (jnp.abs(J_n) + 1.0)
+            floor_exit = window_full & ~window_progress & sane
+            J_chk_n = jnp.where(window_full & active, J_n, J_chk)
+            w_n = jnp.where(window_full & active, 0, w_n)
             done_n = done | (
                 active
-                & (stationary | stalled | (~improved & ~stationary & (reg > cfg.reg_max)))
+                & (stationary | stalled | floor_exit
+                   | (~improved & ~stationary & (reg > cfg.reg_max)))
             )
             it_n = it + active.astype(it.dtype)
             if cfg.ls_adaptive:
@@ -263,16 +310,17 @@ def make_batched_mpc_solver_pallas(
             else:
                 ls0_n = ls0
             return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg,
-                    ls_n + ls_trips, ls0_n)
+                    ls_n + ls_trips, ls0_n, np_n, J_chk_n, w_n)
 
         reg0 = jnp.full((B,), cfg.reg_init, dtype)
         pg0 = jnp.full((B,), jnp.inf, dtype)
         done0 = jnp.zeros((B,), bool)
         it0 = jnp.zeros((B,), jnp.int32)
         state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0,
-                  jnp.zeros((), jnp.int32), jnp.zeros((B,), jnp.int32))
-        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, ls_f, _) = jax.lax.while_loop(
-            cond, body, state0
+                  jnp.zeros((), jnp.int32), jnp.zeros((B,), jnp.int32),
+                  jnp.zeros((B,), jnp.int32), J0, jnp.zeros((B,), jnp.int32))
+        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, ls_f, _, _, _, _) = (
+            jax.lax.while_loop(cond, body, state0)
         )
 
         return MPCSolution(
