@@ -10,8 +10,9 @@ query with a 100 ms real-time budget at 10 Hz replanning on a single CPU core
 north-star target is >=1000x that on one TPU host (BASELINE.json).
 
 Each solve here is the full H=50 gate-traversal problem from a cold start
-(hover initialization, fresh scenario) under a 45-iteration DDP budget —
-the same work the reference's RL gradient workers do 9x per sample.  Solution
+(hover initialization, fresh scenario) under a 60-iteration DDP budget with
+progress-window termination — the same work the reference's RL gradient
+workers do 9x per sample.  Solution
 quality of that budget is MEASURED IN-BENCH against a 150-iteration
 fully-converged run of the same scenarios and emitted in the JSON
 (converged_frac, median/q90 cost excess, frac within 1%).  Diagnostics go to
@@ -49,15 +50,22 @@ def main():
     params_q = QuadParams()
     weights = CostWeights()
     # f32 on TPU: relative tolerances sized to f32 resolution.
-    # Operating point (round-3 sweep, scripts/dev_bench_sweep.py): 50-iter
-    # budget with the line search capped at 4 trips/iteration (adaptive
-    # warm-started backtracking, ls_max_trips) — strictly dominates the
-    # round-2 point (45 iters, full 14-deep ladder): quality 0.947 vs 0.943
-    # frac-within-1%-of-converged AND ~1.5x the solves/s.  The cap turns
-    # 13.9 lock-step forward kernels per iteration into 4.0; failed lanes
-    # hand over to the Tassa reg schedule instead of walking the ladder.
-    solver_cfg = SolverConfig(horizon=50, max_iters=50, tol=1e-4, gtol=3e-4,
-                              ls_adaptive=True, ls_max_trips=4)
+    # Operating point (r3 sweep scripts/dev_bench_sweep.py; r4 audit
+    # scripts/dev_convergence_audit.py + dev_op_sweep.py): 60-iter budget,
+    # line search capped at 4 trips/iteration (adaptive warm-started
+    # backtracking), and the r4 progress-WINDOW termination
+    # (no_progress_iters=10): a lane whose last 10 iterations made < tol
+    # cumulative progress is terminal (the f32 resolution floor holds
+    # pg_rel at ~1e-2, so the KKT gates alone cannot certify it).  The
+    # window frees finished lanes' line-search trips; the freed budget
+    # funds cap 60, which the r4 frontier sweep shows strictly dominates
+    # the r3 cap-50 point on quality: conv 0.82 (was 0.40), q90 excess
+    # 5.2e-3 (was 6.4e-3), frac-within-1% 0.955 (was 0.942) — all measured
+    # against the TRUE uncapped 150-iter golden — at ~16% sync throughput
+    # cost.
+    solver_cfg = SolverConfig(horizon=50, max_iters=60, tol=1e-4, gtol=3e-4,
+                              ls_adaptive=True, ls_max_trips=4,
+                              no_progress_iters=10)
 
     batch = 2048  # throughput knee on v5e-1 (2048 > 1024 > 4096)
     if jax.default_backend() == "cpu":
@@ -120,20 +128,30 @@ def main():
     sync_sps = batch / min(times)
 
     # pipelined throughput mode (the training regime: steps enqueue
-    # back-to-back, host gap hidden behind device work)
-    n_pipe = 6
-    t0 = time.time()
-    sols = [solve(*rep_args[i % n_rep]) for i in range(n_pipe)]
-    for s in sols:
-        np.asarray(s.control_traj)
-    pipe_elapsed = time.time() - t0
+    # back-to-back, host gap hidden behind device work).  12 deep: the axon
+    # tunnel's per-call latency varies by >2x between sessions, and deeper
+    # pipelining amortizes it toward pure device throughput.
+    n_pipe = 12
+    pipe_times = []
+    for rep in range(2):  # best of 2: tunnel throughput swings >2x between
+        t0 = time.time()   # sessions and sometimes within one
+        sols = [solve(*rep_args[i % n_rep]) for i in range(n_pipe)]
+        for s in sols:
+            np.asarray(s.control_traj)
+        pipe_times.append(time.time() - t0)
+        log(f"pipelined x{n_pipe} rep {rep}: {pipe_times[-1]:.3f}s "
+            f"({n_pipe * batch / pipe_times[-1]:.1f} solves/s)")
+    pipe_elapsed = min(pipe_times)
     solves_per_sec = n_pipe * batch / pipe_elapsed
-    log(f"pipelined x{n_pipe}: {pipe_elapsed:.3f}s total "
-        f"({solves_per_sec:.1f} solves/s; sync mode {sync_sps:.1f})")
+    log(f"pipelined best: {solves_per_sec:.1f} solves/s; sync mode {sync_sps:.1f}")
     # ---- solution quality at the benchmark budget, measured in-bench ----
-    # golden = fully-converged (150-iter) solves of the SAME scenarios
+    # golden = fully-converged (150-iter) solves of the SAME scenarios with
+    # the FULL uncapped line-search ladder (ls_adaptive=False, 14 trips) —
+    # an independent quality anchor that does not share the benchmarked
+    # config's trip-cap failure modes (advisor r3 finding: a capped golden
+    # can hide quality loss the cap itself causes).
     golden_cfg = SolverConfig(horizon=50, max_iters=150, tol=1e-4, gtol=3e-4,
-                              ls_adaptive=True, ls_max_trips=4)
+                              ls_adaptive=False, ls_max_trips=14)
     solve_golden = jax.jit(make_batched_mpc_solver(params_q, weights, golden_cfg))
     sol_g = solve_golden(*rep_args[0])
     Jg = np.asarray(sol_g.cost)
@@ -162,7 +180,9 @@ def main():
         "converged_frac": round(conv_frac, 4),
         "median_cost_excess_vs_converged": float(np.median(excess)),
         "q90_cost_excess_vs_converged": float(np.percentile(excess, 90)),
+        "q99_cost_excess_vs_converged": float(np.percentile(excess, 99)),
         "frac_within_1pct_of_converged": round(float((excess < 0.01).mean()), 4),
+        "frac_within_1e3_of_converged": round(float((excess < 1e-3).mean()), 4),
     }
     print(json.dumps(out))
 
