@@ -101,11 +101,13 @@ def make_closed_loop_sim(
     # guess (non-integer would warm-start from between-knot times).
     shift_f = control_every * plant_dt / solver_cfg.dt
     warm_shift = int(round(shift_f))
-    if warm_start and (warm_shift < 1 or abs(shift_f - warm_shift) > 1e-9):
+    if warm_start and (warm_shift < 1 or abs(shift_f - warm_shift) > 1e-9
+                       or warm_shift > solver_cfg.horizon):
         raise ValueError(
             f"warm_start needs control_every*plant_dt to be an integer "
-            f"multiple of the solver dt: {control_every}*{plant_dt} / "
-            f"{solver_cfg.dt} = {shift_f}"
+            f"multiple of the solver dt no larger than the horizon: "
+            f"{control_every}*{plant_dt} / {solver_cfg.dt} = {shift_f} "
+            f"(horizon {solver_cfg.horizon})"
         )
     H = solver_cfg.horizon
     w_rot = motion_cfg.omega_y
@@ -214,13 +216,30 @@ def make_closed_loop_sim(
     return sim
 
 
-def evaluate_closed_loop(log: ClosedLoopLog, final_point):
-    """Success metrics the reference only eyeballs from animations:
-    (traversed, crossing_margin, final_distance).
+class ClosedLoopMetrics(NamedTuple):
+    """Hardened closed-loop scorecard (VERDICT r3 weak #6): gate traversal
+    alone does not require ever REACHING the goal, so the strict variants and
+    divergence accounting are first-class here.  The reference's objective
+    explicitly weights terminal goal distance (quad_policy.py:88-89)."""
+
+    traversed: jnp.ndarray       # crossed the gate plane inside the rectangle
+    margin: jnp.ndarray          # window-frame clearance at the crossing
+    final_dist: jnp.ndarray      # |r_N - goal|
+    reached_1m: jnp.ndarray      # final_dist < 1 m
+    reached_2m: jnp.ndarray      # final_dist < 2 m
+    diverged: jnp.ndarray        # non-finite state or runaway |r| > 50 m
+    goal_speed_end: jnp.ndarray  # closing speed toward the goal at sim end
+                                 # (m/s; >0 = still converging when the sim
+                                 # was cut, <0 = drifting away)
+
+
+def evaluate_closed_loop_full(log: ClosedLoopLog, final_point) -> ClosedLoopMetrics:
+    """Full success scorecard.
 
     traversed: the quad center crossed the moving gate's plane within the
-    corner rectangle; crossing_margin: min window-frame |x|,|z| clearance at
-    the crossing step; final_distance: |r_N - goal|."""
+    corner rectangle; margin: min window-frame |x|,|z| clearance at the
+    crossing step.  The strict deliverable is traversed & reached & ~diverged
+    — what bench_success.py reports as success_and_reached."""
     states = log.states[1:]
     moves = log.gate_moves[: states.shape[0]]
 
@@ -249,5 +268,29 @@ def evaluate_closed_loop(log: ClosedLoopLog, final_point):
     z_m = half_heights[ci] - jnp.abs(rel[ci, 2])
     margin = jnp.minimum(x_m, z_m)
     traversed = any_cross & (margin > 0)
-    final_distance = jnp.linalg.norm(states[-1, 0:3] - jnp.asarray(final_point))
-    return traversed, margin, final_distance
+    goal = jnp.asarray(final_point)
+    final_distance = jnp.linalg.norm(states[-1, 0:3] - goal)
+    diverged = (~jnp.all(jnp.isfinite(states))) | (
+        jnp.max(jnp.abs(jnp.where(jnp.isfinite(states[:, 0:3]),
+                                  states[:, 0:3], 1e9))) > 50.0
+    )
+    # closing speed toward the goal at sim end: v . (goal - r)/|goal - r|
+    to_goal = goal - states[-1, 0:3]
+    to_goal = to_goal / jnp.maximum(jnp.linalg.norm(to_goal), 1e-6)
+    goal_speed_end = jnp.dot(states[-1, 3:6], to_goal)
+    return ClosedLoopMetrics(
+        traversed=traversed,
+        margin=margin,
+        final_dist=final_distance,
+        reached_1m=final_distance < 1.0,
+        reached_2m=final_distance < 2.0,
+        diverged=diverged,
+        goal_speed_end=goal_speed_end,
+    )
+
+
+def evaluate_closed_loop(log: ClosedLoopLog, final_point):
+    """Back-compat 3-tuple view of evaluate_closed_loop_full:
+    (traversed, crossing_margin, final_distance)."""
+    m = evaluate_closed_loop_full(log, final_point)
+    return m.traversed, m.margin, m.final_dist
