@@ -1,5 +1,6 @@
 """Scaling benchmark: weak-scaling efficiency of the batched MPC solver over
-a scenario-sharded device mesh.
+a scenario-sharded device mesh, plus a REAL multi-process jax.distributed
+throughput row.
 
 The BASELINE.md scaling metric: solves/s at 1 chip / 1 host / N hosts.  Every
 MPC solve is independent, so scenario data-parallelism over the mesh is the
@@ -8,22 +9,35 @@ deep_learning.py:66-72); XLA partitions the batched solve with zero
 collectives in the hot path.
 
 On a multi-device platform this measures true weak scaling on silicon.  On
-the single-chip axon tunnel (or plain CPU) it instead measures SHARDING
-PARITY on an 8-device virtual CPU mesh: the same total batch, unsharded on
-one device vs sharded over 8 — virtual devices share physical cores, so
-weak scaling is not measurable, but partitioning overhead is (a healthy
-program scores ~1: the sharded computation costs no more than the unsharded
-one).
+the single-chip axon tunnel (or plain CPU) it instead measures two things
+that ARE measurable here:
+
+  1. SHARDING PARITY on a virtual CPU mesh: same total batch, unsharded on
+     one device vs sharded over 2/4/8 — virtual devices share the physical
+     cores, so weak scaling is not measurable, but partitioning overhead is.
+     Methodology (r4, VERDICT weak #3): a compute-bound problem size,
+     median of >=5 timed reps per count, per-count parity reported.  NOTE
+     this host has 2 physical cores: 4- and 8-device rows oversubscribe
+     them, so the parity gate applies to the 2-device row; the others are
+     reported for transparency.
+  2. MULTI-PROCESS PARITY through the actual multi-host init path
+     (parallel/distributed.py + gloo CPU collectives): the SAME global
+     2-device mesh and global batch, run as 1 process vs 2 processes
+     (scaling_worker.py) — isolating the cross-process machinery the
+     reference's fork backend never had.  Healthy ~1.
 
 Prints ONE JSON line:
   {"metric": "weak_scaling_efficiency" | "virtual_mesh_sharding_parity",
-   "value": <fraction>, "unit": "fraction", "vs_baseline": <same>, ...}
+   "value": <fraction>, "unit": "fraction", ...,
+   "multiprocess": {...}}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import socket
+import subprocess
 import sys
 import time
 
@@ -34,6 +48,60 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def run_multiprocess_row(repo, batch=64, horizon=20, iters=8, reps=3):
+    """1-process vs 2-process jax.distributed runs of the same global
+    problem (same 2-device mesh); returns the parity dict or None."""
+    worker = os.path.join(repo, "benchmarks", "scaling_worker.py")
+    outdir = os.path.join(repo, "runs", "bench_scaling_mp")
+    os.makedirs(outdir, exist_ok=True)
+    results = {}
+    for nproc in (1, 2):
+        dpp = 2 // nproc
+        port = _free_port()
+        procs = []
+        for pid in range(nproc):
+            procs.append(subprocess.Popen(
+                [sys.executable, worker, str(pid), str(nproc), str(port),
+                 str(dpp), str(batch), str(horizon), str(iters), str(reps),
+                 outdir],
+                cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            ))
+        for p in procs:
+            try:
+                p.wait(timeout=600)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                log(f"multiprocess row: nproc={nproc} timed out")
+                return None
+        if any(p.returncode != 0 for p in procs):
+            for p in procs:
+                log(f"worker rc={p.returncode}: "
+                    f"{p.stderr.read().decode()[-500:]}")
+            return None
+        with open(os.path.join(outdir, f"mp_{nproc}.json")) as f:
+            results[nproc] = json.load(f)
+        log(f"multiprocess nproc={nproc}: "
+            f"{results[nproc]['solves_per_sec']:.1f} solves/s")
+    return {
+        "solves_per_sec_1proc": round(results[1]["solves_per_sec"], 1),
+        "solves_per_sec_2proc": round(results[2]["solves_per_sec"], 1),
+        "parity_2proc_vs_1proc": round(
+            results[2]["solves_per_sec"] / results[1]["solves_per_sec"], 3),
+        "batch": batch,
+        "horizon": horizon,
+        "reps": reps,
+        "backend": "jax.distributed + gloo CPU collectives",
+    }
 
 
 def main():
@@ -56,6 +124,8 @@ def main():
     from learningagileflight_se3_tpu.parallel.mesh import make_mesh
     from learningagileflight_se3_tpu.solver.ilqr import make_batched_mpc_solver
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
     # multi-device accelerator -> measure silicon; otherwise measure the
     # 8-device virtual CPU mesh (the backend is already initialized by the
     # image's sitecustomize, so select devices explicitly rather than via
@@ -64,16 +134,22 @@ def main():
     if len(all_devices) < 2:
         all_devices = jax.devices("cpu")
     platform = all_devices[0].platform
-    log(f"platform: {platform}  devices: {len(all_devices)}")
+    n_cores = os.cpu_count() or 1
+    log(f"platform: {platform}  devices: {len(all_devices)}  cores: {n_cores}")
 
     params_q, weights = QuadParams(), CostWeights()
     virtual = platform == "cpu"
     if virtual:
-        horizon, iters = 20, 8      # small problem: methodology check
-        total_batch = 64
+        # compute-bound shape: ~1-2 s per rep so per-device dispatch
+        # overhead is amortized (the r3 run used batch 64 / 8 iters / 3
+        # reps and its parity number was dominated by noise)
+        horizon, iters = 20, 10
+        total_batch = 256
+        n_rep = 5
     else:
         horizon, iters = 50, 30
         total_batch = None          # weak scaling: 2048 per device
+        n_rep = 3
     cfg = SolverConfig(horizon=horizon, max_iters=iters, tol=1e-4, gtol=3e-4)
 
     counts = [n for n in (1, 2, 4, 8) if n <= len(all_devices)]
@@ -110,31 +186,43 @@ def main():
         sol = solve(x0, u_last, goal, tra_pos, tra_ang, t)
         np.asarray(sol.control_traj)  # fetch-sync: reliable barrier under axon
         times = []
-        for _ in range(3):
+        for _ in range(n_rep):
             t0 = time.perf_counter()
             sol = solve(x0, u_last, goal, tra_pos, tra_ang, t)
             np.asarray(sol.control_traj)
             times.append(time.perf_counter() - t0)
-        sps[n] = batch / min(times)
-        log(f"devices={n}  batch={batch}  {sps[n]:.1f} solves/s")
+        sps[n] = batch / float(np.median(times))
+        log(f"devices={n}  batch={batch}  {sps[n]:.1f} solves/s "
+            f"(median of {n_rep}; spread "
+            f"{min(times):.3f}-{max(times):.3f}s)")
 
-    n_max = counts[-1]
+    parity = {str(n): round(sps[n] / sps[1], 3) for n in counts}
     if virtual:
-        # same total batch everywhere: parity = sharded / unsharded speed
-        eff = sps[n_max] / sps[1]
+        # parity is physically meaningful up to the core count; beyond it
+        # virtual devices oversubscribe cores and the number measures the
+        # OS scheduler, not the program
+        gate_n = max(n for n in counts if n <= n_cores)
+        eff = sps[gate_n] / sps[1]
         metric = "virtual_mesh_sharding_parity"
     else:
-        eff = sps[n_max] / (n_max * sps[1])
+        gate_n = counts[-1]
+        eff = sps[gate_n] / (gate_n * sps[1])
         metric = "weak_scaling_efficiency"
+
+    mp_row = run_multiprocess_row(repo) if virtual or platform == "tpu" else None
+
     out = {
         "metric": metric,
         "value": round(float(eff), 3),
         "unit": "fraction",
         "vs_baseline": round(float(eff), 3),
-        "devices": n_max,
+        "devices_gated": gate_n,
+        "physical_cores": n_cores,
         "solves_per_sec": {str(k): round(v, 1) for k, v in sps.items()},
+        "parity_per_count": parity,
         "platform": platform,
         "virtual_mesh": virtual,
+        "multiprocess": mp_row,
     }
     print(json.dumps(out))
 
