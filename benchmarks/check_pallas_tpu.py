@@ -99,8 +99,31 @@ def main():
     med_rel = float(np.median(cost_rel[both]))
     med_mae = float(np.median(mae[both]))
     same_basin = float((cost_rel[both] < 1e-4).mean())
+
+    # ---- tail breakdown (VERDICT r3 weak #4): every worst lane must be a
+    # BASIN FLIP (the two solvers landed in different local minima of a
+    # nonconvex problem: controls differ by O(0.01+) N) or involve a
+    # non-converged side — never a kernel numeric error, whose signature
+    # would be nearly-identical controls with a diverging cost.
+    same_basin_q90 = float(np.percentile(cost_rel[both], 90))
+    tail = cost_rel > 1e-4
+    n_tail = int(tail.sum())
+    flip = tail & (mae > 1e-2)
+    nonconv = tail & ~both
+    unexplained = tail & ~(mae > 1e-2) & both
+    worst = int(np.argmax(cost_rel))
+    log(f"tail (cost_rel>1e-4): {n_tail} lanes; basin flips {int(flip.sum())}, "
+        f"not-both-converged {int(nonconv.sum())}, unexplained "
+        f"{int(unexplained.sum())}")
+    log(f"worst lane {worst}: cost_rel {cost_rel[worst]:.2e} mae "
+        f"{mae[worst]:.3e} converged p/x "
+        f"{bool(np.asarray(ps.converged)[worst])}/"
+        f"{bool(np.asarray(xs.converged)[worst])}")
+
     ok = (both_frac >= 0.5 and med_rel < 1e-5 and med_mae < 1e-4
-          and same_basin >= 0.85)
+          and same_basin >= 0.85
+          and same_basin_q90 < 1e-4        # q90 gate on converged lanes
+          and int(unexplained.sum()) == 0)  # tail fully explained
     out = {
         "metric": "pallas_vs_xla_agreement",
         "value": 1.0 if ok else 0.0,
@@ -112,9 +135,24 @@ def main():
         "max_iters": cfg.max_iters,
         "both_converged_frac": both_frac,
         "median_cost_rel_diff_converged": med_rel,
+        "q90_cost_rel_diff_converged": same_basin_q90,
         "median_control_mae_converged": med_mae,
         "frac_same_basin_converged": same_basin,
         "max_cost_rel_diff": float(cost_rel.max()),
+        "tail_lanes_over_1e4": n_tail,
+        "tail_basin_flips": int(flip.sum()),
+        "tail_not_both_converged": int(nonconv.sum()),
+        "tail_unexplained": int(unexplained.sum()),
+        "worst_lane": {
+            "cost_rel": float(cost_rel[worst]),
+            "control_mae": float(mae[worst]),
+            "pallas_converged": bool(np.asarray(ps.converged)[worst]),
+            "xla_converged": bool(np.asarray(xs.converged)[worst]),
+            "explanation": (
+                "basin flip" if mae[worst] > 1e-2 else
+                "non-converged side" if not both[worst] else "unexplained"
+            ),
+        },
     }
     print(json.dumps(out))
     if not ok:
