@@ -1,0 +1,126 @@
+"""External-engine validation harness tests (VERDICT r3 missing #1).
+
+Two layers:
+  1. `test_replay_contract` — runs EVERYWHERE: replays the committed
+     per-tick engine observations (artifacts/replay_contract.npz, generated
+     by scripts/make_replay_contract.py on CPU f64) through a freshly
+     constructed ExternalSimController and asserts the control wrench and
+     traversal time match the recording.  This pins the full adapter
+     pipeline (state reassembly, xyzw->wxyz reorder, Euler-rate->body-rate
+     transform, tsolver fixed point, DNN2, window-frame MPC, mixer) that a
+     PyBullet host calls — reference Yixiao_ctrl_wrapper.py:24-184.
+  2. `test_pybullet_live` — runs only where `pybullet` is installed
+     (importorskip): flies the committed DNN2 inside Bullet itself
+     (sim/pybullet_harness.py), an independently-authored physics engine.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from learningagileflight_se3_tpu.config import QuadParams, SolverConfig, Variant
+from learningagileflight_se3_tpu.models.mlp import make_dnn2
+from learningagileflight_se3_tpu.sim.external_controller import ExternalSimController
+from learningagileflight_se3_tpu.utils.checkpoint import load_params
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CONTRACT = os.path.join(REPO, "artifacts", "replay_contract.npz")
+
+
+@pytest.fixture(scope="module")
+def nn2_params():
+    model2 = make_dnn2()
+    like = model2.init(jax.random.PRNGKey(0), jnp.zeros((1, 18)))
+    return model2, load_params(os.path.join(REPO, "artifacts", "nn3_1"), like=like)
+
+
+class TestReplayContract:
+    def test_replay_contract(self, nn2_params):
+        model2, p2 = nn2_params
+        z = np.load(CONTRACT)
+        moves, V = z["gate_moves"], z["gate_vel"]
+        ctrl = ExternalSimController(
+            model2, p2,
+            final_point=z["final_point"],
+            gate_motion=lambda i: (moves[min(i, len(moves) - 1)],
+                                   V[min(i, len(moves) - 1)]),
+            w_rot=float(z["w_rot"]),
+            origin=z["origin"],
+            variant=Variant.PYBULLET,
+            solver_cfg=SolverConfig(
+                horizon=int(z["solver_horizon"]),
+                max_iters=int(z["solver_max_iters"]),
+                u_ub=float(z["solver_u_ub"]),
+            ),
+            fixed_point_tol=float(z["fixed_point_tol"]),
+        )
+        obs_rows = z["observations"]
+        act_rows = z["actions"]
+        t_rows = z["tra_times"]
+        steps = z["tick_steps"]
+        for k in range(len(steps)):
+            obs = obs_rows[k]
+            action, t_pred = ctrl.compute_control(
+                step=int(steps[k]),
+                cur_pos=obs[0:3], cur_quat_xyzw=obs[3:7],
+                cur_vel=obs[10:13], cur_euler_rates=obs[13:16],
+                cur_rpy=obs[7:10],
+            )
+            np.testing.assert_allclose(
+                action, act_rows[k], atol=1e-4, rtol=0,
+                err_msg=f"control wrench drifted at tick {k}")
+            assert abs(float(t_pred) - t_rows[k]) < 1e-6, (
+                f"traversal time drifted at tick {k}")
+
+    def test_contract_is_nontrivial(self):
+        """The recording must contain real flight: multiple distinct ticks,
+        nonzero torques, a sane traversal-time sequence."""
+        z = np.load(CONTRACT)
+        act = z["actions"]
+        assert act.shape[0] >= 6 and act.shape[1] == 4
+        assert np.abs(act[:, 1:]).max() > 1e-4  # torques actually commanded
+        assert np.std(act[:, 0]) > 1e-6         # thrust varies across ticks
+        assert np.all(np.isfinite(act))
+        assert z["tra_times"][0] > 0            # sane pre-traversal estimate
+        # not every tick may sit at the thrust rail (a railed recording
+        # would pin nothing but the clip)
+        T_rail = 4.0 * float(z["solver_u_ub"])
+        assert (act[:, 0] < T_rail - 1e-6).any()
+
+
+class TestPyBulletLive:
+    def test_pybullet_live(self, nn2_params):
+        pytest.importorskip("pybullet")
+        from learningagileflight_se3_tpu.sim.pybullet_harness import (
+            run_pybullet_sim,
+        )
+        from learningagileflight_se3_tpu.sim.validation_sim import (
+            ValidationSimConfig,
+        )
+
+        model2, p2 = nn2_params
+        res = run_pybullet_sim(
+            model2, p2,
+            cfg=ValidationSimConfig(duration_sec=2.0),
+            params=QuadParams(), seed=3,
+        )
+        assert res["engine"] == "pybullet"
+        assert np.all(np.isfinite(res["states"]))
+        # the vehicle must actually fly (thrust beats gravity drop): after
+        # 2 s of ballistic free-fall it would have fallen ~19.6 m
+        assert res["states"][-1, 2] > res["states"][0, 2] - 5.0
+
+    def test_harness_import_is_guarded(self):
+        """Importing the module must not require pybullet; constructing the
+        sim without pybullet must raise a clear ImportError."""
+        import importlib.util
+
+        from learningagileflight_se3_tpu.sim import pybullet_harness
+
+        if importlib.util.find_spec("pybullet") is None:
+            with pytest.raises(ImportError, match="pybullet"):
+                pybullet_harness._require_pybullet()
