@@ -77,6 +77,7 @@ def make_closed_loop_sim(
     control_every: int = 10,
     plant_dt: float = 0.01,
     fixed_point_tol: float = 1e-3,
+    fixed_point_accel: str = "reference",
     warm_start: bool = True,
     estimate_gate_motion: bool = False,
     gate_obs_noise: float = 0.0,
@@ -92,7 +93,8 @@ def make_closed_loop_sim(
     Kalman filter over (optionally noisy, gate_obs_noise) gate-pose
     observations — the capability the reference's dead `kalman` class
     (quad_moving.py:8-27) was meant to provide."""
-    tsolve = make_traversal_time_solver(model2, tol=fixed_point_tol)
+    tsolve = make_traversal_time_solver(model2, tol=fixed_point_tol,
+                                        accel=fixed_point_accel)
     kstep = make_kalman_step(dt=plant_dt)
     solve = make_mpc_solver(params_q, weights, solver_cfg, return_gains=False)
     # receding-horizon warm-start shift: the next replan happens

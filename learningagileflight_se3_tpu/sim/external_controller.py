@@ -101,6 +101,7 @@ class ExternalSimController:
         params: Optional[QuadParams] = None,
         weights: Optional[CostWeights] = None,
         fixed_point_tol: float = 1e-2,
+        fixed_point_accel: str = "reference",
         warm_start: bool = True,
     ):
         p, w, s, *_ = preset(variant)
@@ -119,16 +120,21 @@ class ExternalSimController:
         self._U_warm = None
         self._mix = np.diag([1.0, -self.params.l / 2, self.params.l / 2, -self.params.c]) @ _A
 
-        tsolve = make_traversal_time_solver(model2, tol=fixed_point_tol)
+        tsolve = make_traversal_time_solver(model2, tol=fixed_point_tol,
+                                            accel=fixed_point_accel)
         solve = make_batched_mpc_solver(
             self.params, self.weights, self.solver_cfg, return_gains=False
         )
         H = self.solver_cfg.horizon
         ulb, uub = self.solver_cfg.u_lb, self.solver_cfg.u_ub
-        # single queries are padded to an 8-wide tile: batch-1 arrays hit a
-        # pathological XLA layout on TPU (~4x slower than batch-8 for the
-        # same sequential-depth-bound solve); row 0 is the answer
-        TILE = 8
+        # single queries are padded to a tile; row 0 is the answer.  On TPU
+        # the tile is 128 so the query rides the fused Pallas batched path
+        # (one VPU lane-block — identical wall cost to 8 lanes on the
+        # vmap-XLA path would be ~5x slower per DDP iteration; r4
+        # bench_realtime measured the xla tile-8 tick at ~3.4 ms/iteration
+        # vs <1 ms for the 128-lane kernel).  Elsewhere (CPU tests) a small
+        # tile avoids the pathological XLA batch-1 layout at low cost.
+        TILE = 128 if jax.default_backend() == "tpu" else 8
 
         @jax.jit
         def _device_step(nn2_params, state, gate_pts, velo, u_prev, U_warm):

@@ -59,6 +59,32 @@ class TestTraversalTimeSolver:
         t2 = model2.apply(params2, window_inputs(pts, state, final))[6]
         assert abs(float(t2) - float(t1)) <= tol + 1e-9
 
+    def test_secant_matches_reference_fixed_point(self):
+        """accel='secant' (the deployed 10 Hz tick path) must satisfy the
+        SAME fixed-point property |DNN2_t(t) - t| <= tol as the reference's
+        averaging iteration, and land at (numerically) the same point."""
+        from learningagileflight_se3_tpu.geometry.gate import (
+            rotate_y as ry, translate, window_inputs,
+        )
+
+        model2, params2 = _dnn2_with_params(jax.random.PRNGKey(1))
+        tol = 1e-3
+        t_ref = jax.jit(make_traversal_time_solver(model2, tol=tol))
+        t_sec = jax.jit(make_traversal_time_solver(model2, tol=tol,
+                                                   accel="secant"))
+        state = jnp.zeros(13).at[6].set(1.0).at[1].set(-5.0)
+        final = jnp.asarray([0.0, 6.0, 0.0])
+        gate_pts = gate_from_width(jnp.asarray(1.0))
+        velo = jnp.asarray([0.5, 0.2, 0.1])
+        w = jnp.asarray(1.0)
+        ta = t_ref(params2, state, final, gate_pts, velo, w)
+        tb = t_sec(params2, state, final, gate_pts, velo, w)
+        pts = ry(translate(gate_pts, velo * tb), w * tb)
+        t2 = model2.apply(params2, window_inputs(pts, state, final))[6]
+        assert abs(float(t2) - float(tb)) <= tol + 1e-9
+        # both iterations approximate the same contraction fixed point
+        assert abs(float(ta) - float(tb)) <= 10 * tol
+
 
 class TestClosedLoop:
     @pytest.mark.slow
