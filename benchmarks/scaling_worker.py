@@ -13,8 +13,12 @@ Usage: python scaling_worker.py <pid> <nproc> <port> <devs_per_proc>
 """
 
 import json
+import os
 import sys
 import time
+
+# runnable from a plain checkout: benchmarks/ is not the package root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
