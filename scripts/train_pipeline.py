@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--rl-epochs", type=int, default=None)
     ap.add_argument("--rl-batch", type=int, default=None)
     ap.add_argument("--imitation-epochs", type=int, default=None)
+    ap.add_argument("--imitation-restarts", type=int, default=None,
+                    help="stage-3 restarts; the DNN2 with the best "
+                         "closed-loop success on an independent selection "
+                         "set ships (default 2 with --full, else 1)")
     ap.add_argument("--horizon", type=int, default=50)
     ap.add_argument("--max-iters", type=int, default=45)
     ap.add_argument("--sim-steps", type=int, default=500)
@@ -173,19 +177,51 @@ def main():
     np.save(os.path.join(outdir, "Iteration.npy"), np.arange(1, len(mean_rewards) + 1))
 
     # ---------------- stage 3: DNN2 imitation (nn_train_2.py) -------------
+    # Restart selection (the reference's analogue: deep_learning.py runs 5
+    # RL restarts and saves each candidate): train `--imitation-restarts`
+    # DNN2s from independent imitation-data keys and keep the one with the
+    # best closed-loop success on a SELECTION scenario set drawn from a key
+    # independent of the final eval (r4 seed study: stage-3 key variance is
+    # worth ~2 flights of 128 held-out; 0.945-0.969 over 4 keys).
     t0 = time.time()
-    key, k3 = jax.random.split(key)
+    restarts = args.imitation_restarts or (2 if args.full else 1)
+    key, ksel_s, ksel_g = jax.random.split(key, 3)
+    n_sel = 32
+    sel_scens = sample_scenarios(ksel_s, n_sel, sc)
+    sel_keys = jax.random.split(ksel_g, n_sel)
+    best = None
+    sel_rates = []
     with timer("stage3:imitation"):
-        model2, p2, imi_losses = run_imitation_training(
-            k3, p1_rl, epochs=imi_epochs,
-            batch_scenarios=64 if args.full else 16,
-            sgd_passes=10 if args.full else 4,
-            lr=args.imitation_lr, lr_schedule=True,
-            params_q=pq, weights=cw, solver_cfg=solver_cfg, sampler_cfg=sc,
-            window_frame=args.window_frame,
-            consistent_labels=args.consistent_labels,
-        )
-    print(f"[stage3] {time.time()-t0:.1f}s  loss {imi_losses[0]:.4f} -> {imi_losses[-1]:.4f}")
+        for r in range(restarts):
+            key, k3 = jax.random.split(key)
+            model2, p2_r, losses_r = run_imitation_training(
+                k3, p1_rl, epochs=imi_epochs,
+                batch_scenarios=64 if args.full else 16,
+                sgd_passes=10 if args.full else 4,
+                lr=args.imitation_lr, lr_schedule=True,
+                params_q=pq, weights=cw, solver_cfg=solver_cfg, sampler_cfg=sc,
+                window_frame=args.window_frame,
+                consistent_labels=args.consistent_labels,
+            )
+            if restarts > 1:
+                sim_sel = make_closed_loop_sim(
+                    model2, pq, cw, solver_cfg, steps=args.sim_steps)
+
+                def sel_one(s, k, _p2=p2_r):
+                    return evaluate_closed_loop(sim_sel(_p2, s, k), s[3:6])[0]
+
+                sel = np.asarray(jax.jit(jax.vmap(sel_one))(sel_scens, sel_keys))
+                rate = float(sel.astype(bool).mean())
+            else:
+                rate = float("nan")
+            sel_rates.append(rate)
+            print(f"[stage3] restart {r}: loss {losses_r[-1]:.5f} "
+                  f"selection success {rate:.3f}")
+            if best is None or (restarts > 1 and rate > best[0]):
+                best = (rate, p2_r, losses_r)
+    _, p2, imi_losses = best
+    print(f"[stage3] {time.time()-t0:.1f}s  loss {imi_losses[0]:.4f} -> "
+          f"{imi_losses[-1]:.4f}  (kept best of {restarts}: {sel_rates})")
     save_params(os.path.join(outdir, "nn3_1"), p2)
     np.save(os.path.join(outdir, "imitation_loss.npy"), np.asarray(imi_losses))
 
@@ -248,6 +284,8 @@ def main():
         "rl_grad_mode": args.grad,
         "rl_epochs": rl_epochs,
         "imitation_epochs": imi_epochs,
+        "imitation_restarts": restarts,
+        "imitation_selection_success": sel_rates,
         "platform": jax.default_backend(),
         "n_devices": len(jax.devices()),
     }

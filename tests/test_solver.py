@@ -240,3 +240,60 @@ class TestBatchedSolver:
                 np.asarray(si.control_traj),
                 atol=1e-9,
             )
+
+
+class TestProgressWindowTermination:
+    """r4 no-progress floor (SolverConfig.no_progress_iters): a lane whose
+    last W iterations made < tol cumulative cost progress terminates.  The
+    floor exists for f32 deployment (warm 10 Hz replans at the f32
+    resolution floor never pass the KKT gates); these tests pin its two
+    contracts in a controlled f32-on-CPU setting."""
+
+    def _cfg(self, **kw):
+        base = dict(horizon=8, max_iters=60, tol=1e-4,
+                    # KKT gates disabled so the WINDOW is the only
+                    # convergence mechanism under test
+                    gtol=1e-12, stall_gtol=1e-13)
+        base.update(kw)
+        return SolverConfig(**base)
+
+    def _args32(self):
+        x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
+        f = jnp.float32
+        return (jnp.asarray(x0, f), jnp.asarray(u_last, f),
+                jnp.asarray(goal, f), jnp.asarray(tra_pos, f),
+                jnp.asarray(tra_ang, f), jnp.asarray(t, f))
+
+    def test_warm_restart_at_optimum_exits_fast(self):
+        """A warm restart from an already-solved iterate makes no further
+        progress at f32 — the window must terminate it in ~W iterations
+        with the solution unchanged (this is exactly the deployed warm
+        10 Hz tick; without the floor it burns the full cap)."""
+        args = self._args32()
+        W = 4
+        solve = jax.jit(make_mpc_solver(
+            PARAMS, WEIGHTS, self._cfg(no_progress_iters=W)))
+        cold = solve(*args)
+        warm = solve(*args, U_init=cold.control_traj)
+        assert bool(warm.converged)
+        assert int(warm.iterations) <= W + 3
+        assert float(warm.cost) <= float(cold.cost) * (1 + 1e-5)
+
+    def test_window_does_not_cut_descent(self):
+        """With the window enabled, a COLD solve must reach (numerically)
+        the same cost as the run-to-cap solve — the window may only cut
+        iterations whose whole span was flat."""
+        args = self._args32()
+        s_cap = jax.jit(make_mpc_solver(
+            PARAMS, WEIGHTS, self._cfg(no_progress_iters=0)))(*args)
+        s_win = jax.jit(make_mpc_solver(
+            PARAMS, WEIGHTS, self._cfg(no_progress_iters=10)))(*args)
+        rel = abs(float(s_win.cost) - float(s_cap.cost)) / (
+            abs(float(s_cap.cost)) + 1.0)
+        assert rel < 1e-3, f"window changed the solution: rel {rel}"
+        assert int(s_win.iterations) <= int(s_cap.iterations)
+
+    def test_disabled_by_default(self):
+        """no_progress_iters defaults to 0 (OFF): the f64 oracle-accuracy
+        path keeps run-to-tolerance semantics."""
+        assert SolverConfig().no_progress_iters == 0
