@@ -1,6 +1,9 @@
 from learningagileflight_se3_tpu.sim.tsolver import make_traversal_time_solver
 from learningagileflight_se3_tpu.sim.closed_loop import (
     ClosedLoopLog,
+    ClosedLoopMetrics,
+    evaluate_closed_loop,
+    evaluate_closed_loop_full,
     make_closed_loop_sim,
 )
 from learningagileflight_se3_tpu.sim.external_controller import (
