@@ -302,16 +302,20 @@ def main():
         log(f"success {success:.4f}; replan solver iters p50 {iters_p50:.0f} "
             f"p90 {iters_p90:.0f} max {int(it.max())}")
 
-    # the budget gate accepts either the raw tick (tunnel included) or the
-    # net-of-RTT tick (what a locally-attached accelerator would see)
-    ok = (tick_p90 < 0.1 or tick_p90_net < 0.1) and (
-        success is None or success >= 0.95)
+    # STRICT gate: the raw tick (remote-tunnel RTT included) must fit the
+    # 100 ms budget — no RTT accounting.  ok_net (what a locally-attached
+    # accelerator would see) is reported alongside, informational only.
+    ok_raw = tick_p90 < 0.1
+    ok_net = tick_p90_net < 0.1
+    ok = ok_raw and (success is None or success >= 0.95)
     out = {
         "metric": "realtime_replan",
         "value": round(tick_p90, 6),
         "unit": "s",
         "vs_baseline": round(0.1 / tick_p90, 2),
         "ok": bool(ok),
+        "ok_raw_budget": bool(ok_raw),
+        "ok_net_of_rtt_budget": bool(ok_net),
         "tick_p50_s": round(tick_p50, 6),
         "tick_p90_s": round(tick_p90, 6),
         "tick_max_s": round(tick_max, 6),

