@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--gate-obs-noise", type=float, default=0.0,
                     help="std (m) of the gate corner observation noise fed "
                          "to the KF (with --estimate-gate-motion)")
+    ap.add_argument("--worst", type=int, default=3,
+                    help="re-simulate the K worst scenarios (by final goal "
+                         "distance) with full traces and emit per-scenario "
+                         "diagnostics naming the tail mechanism")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -160,6 +164,62 @@ def main():
         "seed": int(args.seed),
         "platform": jax.default_backend(),
     }
+
+    # -------- per-scenario tail diagnosis (VERDICT r4 weak #6) ------------
+    # The final-distance p99 drives the mean; name the mechanism for the
+    # worst K scenarios from their full traces instead of attributing the
+    # tail to "arrival time" in aggregate.
+    if args.worst > 0:
+        k = min(args.worst, args.n)
+        worst_idx = np.argsort(-final_d)[:k]
+        traces = jax.jit(jax.vmap(sim, in_axes=(None, 0, 0)))(
+            p2, scen[worst_idx], gate_keys[worst_idx]
+        )
+        worst_rows = []
+        for j, i in enumerate(worst_idx):
+            states = np.asarray(traces.states[j])
+            tt = np.asarray(traces.tra_times[j])
+            hl_t = np.asarray(traces.hl_variables[j][:, 6])
+            goal = np.asarray(scen[i][3:6])
+            d = np.linalg.norm(states[1:, 0:3] - goal, axis=1)
+            sit = np.asarray(traces.solver_iters[j])
+            sit = sit[sit > 0]
+            # mechanism taxonomy, most specific first
+            if bool(diverged[i]):
+                mech = "diverged"
+            elif tt.max() > 15.0:
+                mech = "tsolver_runaway"  # fixed point escaped to the clamp
+            elif not bool(ok[i]):
+                mech = "missed_gate"
+            elif float(d.min()) < 2.0 and float(goal_speed[i]) < 0.0:
+                mech = "overshoot_drift"  # reached then drifted past the goal
+            elif float(goal_speed[i]) > 0.0:
+                mech = "slow_arrival"     # still closing when the sim was cut
+            else:
+                mech = "stalled"
+            worst_rows.append({
+                "scenario_index": int(i),
+                "mechanism": mech,
+                "final_dist_m": round(float(final_d[i]), 3),
+                "traversed": bool(ok[i]),
+                "diverged": bool(diverged[i]),
+                "margin_m": round(float(margin[i]), 3),
+                "min_goal_dist_m": round(float(d.min()), 3),
+                "step_of_min_goal_dist": int(d.argmin()) + 1,
+                "goal_closing_speed_end_mps": round(float(goal_speed[i]), 3),
+                "tsolver_t_first_s": round(float(tt[0]), 3),
+                "tsolver_t_max_s": round(float(tt.max()), 3),
+                "tsolver_t_last_s": round(float(tt[-1]), 3),
+                "dnn2_t_last_s": round(float(hl_t[-1]), 3),
+                "replan_iters_mean": round(float(sit.mean()), 1) if sit.size else None,
+                "max_speed_mps": round(
+                    float(np.linalg.norm(states[:, 3:6], axis=1).max()), 2),
+            })
+            log(f"worst[{j}] scenario {i}: {mech}  final {final_d[i]:.2f} m  "
+                f"min {d.min():.2f} m @step {d.argmin()+1}  "
+                f"t_max {tt.max():.2f}s  v_end {goal_speed[i]:+.2f} m/s")
+        out["worst_scenarios"] = worst_rows
+
     print(json.dumps(out))
 
 

@@ -25,9 +25,16 @@ Design notes vs the reference:
     whose mass/inertia/arm values are asserted against config.QuadParams by
     tests/test_assets.py — Bullet integrates ITS OWN rigid-body dynamics
     from those properties; nothing of our plant code is in the loop.
-  * The moving gate is kinematic scenery (collision detection is scored by
-    the same window-frame crossing analysis as validation_sim.py); Bullet's
-    role is the flight dynamics.
+  * The moving gate is a PHYSICAL Bullet body (physical_gate=True): a
+    per-scenario window URDF (utils/urdf.window_urdf — opening sized to the
+    sampled width/height, the role of GateAviary's `scaled_model`) loaded
+    as a fixed-base obstacle and repositioned every physics step to the
+    analytic corner trajectory (kinematic gate, exactly GateAviary's
+    moving-gate mechanism, GateAviary.py:135-230).  Engine CONTACT events
+    between the quad and the frame are recorded and returned alongside the
+    analytic window-frame margin — a flight that nicks the frame is now
+    caught by Bullet's own collision detection, not only by the margin
+    metric.
 
 The always-runnable counterpart is the recorded-replay CONTRACT test
 (tests/test_pybullet_harness.py + artifacts/replay_contract.npz): the exact
@@ -59,6 +66,37 @@ _ASSETS = os.path.join(
 )
 
 
+def _corners_to_pose(pts):
+    """(4,3) corner array -> (centroid, R columns [x y z], quat xyzw) of the
+    window body whose URDF opening lies in its local x-z plane (corner
+    order [top-left, top-right, bottom-right, bottom-left],
+    geometry/gate.gate_from_width)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    c = pts.mean(axis=0)
+    x_ax = pts[1] - pts[0]
+    x_ax = x_ax / np.linalg.norm(x_ax)
+    z_ax = pts[0] - pts[3]
+    z_ax = z_ax / np.linalg.norm(z_ax)
+    y_ax = np.cross(z_ax, x_ax)
+    R = np.stack([x_ax, y_ax, z_ax], axis=1)  # columns = body axes in world
+    # rotation matrix -> quaternion (w,x,y,z), Shepperd's method
+    tr = np.trace(R)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k]) * 2
+        q = np.zeros(4)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+    return c, q[[1, 2, 3, 0]]  # xyzw for Bullet
+
+
 def _require_pybullet():
     try:
         return importlib.import_module("pybullet")
@@ -79,10 +117,15 @@ def run_pybullet_sim(
     gui: bool = False,
     urdf: Optional[str] = None,
     replay_file: Optional[str] = None,
+    physical_gate: bool = True,
 ) -> dict:
     """Fly DNN2 + MPC closed-loop in Bullet. Mirrors run_validation_sim's
     loop structure (100 Hz physics / 10 Hz control) and return dict so the
-    two harnesses are drop-in comparable."""
+    two harnesses are drop-in comparable.
+
+    physical_gate=True loads the window frame as a Bullet body and records
+    engine contact events in the returned dict ("contacts": list of
+    (step, world position, normal force), "n_contact_steps")."""
     p = _require_pybullet()
 
     rng = np.random.default_rng(seed)
@@ -145,9 +188,33 @@ def run_pybullet_sim(
         p.changeDynamics(body, -1, linearDamping=0.0, angularDamping=0.0,
                          physicsClientId=client)
 
+        gate_body = None
+        if physical_gate:
+            # per-scenario window URDF (opening sized to the sampled gate),
+            # loaded fixed-base and repositioned kinematically every step —
+            # the GateAviary.py:60-104 gate-as-obstacle mechanism
+            import tempfile
+
+            from learningagileflight_se3_tpu.utils.urdf import window_urdf
+
+            with tempfile.NamedTemporaryFile(
+                "w", suffix="_window.urdf", delete=False
+            ) as f:
+                f.write(window_urdf(float(scen["gate_width"]),
+                                    float(cfg.half_gate_height)))
+                gate_urdf_path = f.name
+            c0, q0g = _corners_to_pose(moves[0] + origin)
+            gate_body = p.loadURDF(
+                gate_urdf_path, basePosition=c0.tolist(),
+                baseOrientation=q0g.tolist(), useFixedBase=True,
+                physicsClientId=client,
+            )
+            os.unlink(gate_urdf_path)
+
         action = np.zeros(4)
         t_pred = 0.0
         states13 = []
+        contacts = []
         for i in range(n_steps):
             pos, quat_xyzw = p.getBasePositionAndOrientation(
                 body, physicsClientId=client)
@@ -186,7 +253,18 @@ def run_pybullet_sim(
                 body, -1, torqueObj=[float(action[1]), float(action[2]),
                                      float(action[3])],
                 flags=p.LINK_FRAME, physicsClientId=client)
+            if gate_body is not None:
+                ci, qi = _corners_to_pose(
+                    moves[min(i, len(moves) - 1)] + origin)
+                p.resetBasePositionAndOrientation(
+                    gate_body, ci.tolist(), qi.tolist(),
+                    physicsClientId=client)
             p.stepSimulation(physicsClientId=client)
+            if gate_body is not None:
+                for cp in p.getContactPoints(
+                        bodyA=body, bodyB=gate_body, physicsClientId=client):
+                    # cp[5] = position on A (world), cp[9] = normal force
+                    contacts.append((i, tuple(cp[5]), float(cp[9])))
 
             pos, quat_xyzw = p.getBasePositionAndOrientation(
                 body, physicsClientId=client)
@@ -213,4 +291,7 @@ def run_pybullet_sim(
         "final_distance": final_dist,
         "states": states13,
         "engine": "pybullet",
+        "physical_gate": bool(physical_gate),
+        "contacts": contacts,
+        "n_contact_steps": len({c[0] for c in contacts}),
     }

