@@ -164,6 +164,94 @@ def main():
         f"frac<1% {(excess < 0.01).mean():.3f} "
         f"(golden itself converged {float(np.asarray(sol_g.converged).mean()):.3f})")
 
+    # ---- certified tier: status-driven selective re-solve (VERDICT r4 #6) -
+    # The fast tier's per-lane exit `status` separates true-KKT certificates
+    # (status 1 — measured ZERO lanes >1% off the golden) from budget-floor
+    # exits (cap/window/blowout).  The certified tier re-solves every
+    # non-KKT lane COLD with the uncapped golden config and merges by min
+    # cost, so each lane either carries a KKT certificate from the fast
+    # pass or the reference-grade solve — measured q99 excess ~1e-6.  Both
+    # tiers are timed end-to-end (main + gather + rescue) and reported;
+    # the headline stays the fast tier.
+    certified = None
+    if jax.default_backend() != "cpu":
+        status0 = np.asarray(sol_b.status)
+        n_rescue = int((status0 != 1).sum())
+        RES = max(128, int(np.ceil(min(n_rescue, batch) / 128) * 128))
+        # compile the rescue tile once (fixed shape)
+        idx0 = np.resize(np.where(status0 != 1)[0], RES)
+        sol_r = solve_golden(*[np.asarray(a)[idx0] for a in rep_args[0]])
+        np.asarray(sol_r.cost)
+        cert_times, cert_q = [], None
+        for i, a in enumerate(rep_args):
+            t0 = time.time()
+            s_main = solve(*a)
+            st = np.asarray(s_main.status)
+            Jm = np.asarray(s_main.cost)
+            idx = np.where(st != 1)[0]
+            if len(idx) == 0:
+                cert_times.append(time.time() - t0)
+                continue
+            if len(idx) > RES:  # keep the tile static: most-suspicious first
+                rel_pg = np.asarray(s_main.grad_norm) / (np.abs(Jm) + 1.0)
+                idx = idx[np.argsort(-rel_pg[idx])[:RES]]
+            pad = np.resize(idx, RES)
+            s_r = solve_golden(*[np.asarray(x)[pad] for x in a])
+            Jr = np.asarray(s_r.cost)
+            J_cert = Jm.copy()
+            J_cert[idx] = np.minimum(Jm[idx], Jr[: len(idx)])
+            cert_times.append(time.time() - t0)
+            if i == 0:
+                ex_c = (J_cert - Jg) / np.maximum(np.abs(Jg), 1e-6)
+                cert_q = {
+                    "q90_cost_excess": float(np.percentile(ex_c, 90)),
+                    "q99_cost_excess": float(np.percentile(ex_c, 99)),
+                    "frac_within_1pct": float((ex_c < 0.01).mean()),
+                    "frac_within_1e3": float((ex_c < 1e-3).mean()),
+                }
+        cert_sps = batch / min(cert_times)
+        certified = {
+            "solves_per_sec": round(cert_sps, 2),
+            "vs_baseline": round(cert_sps / 10.0, 2),
+            "rescue_frac": round(n_rescue / batch, 3),
+            "rescue_tile": RES,
+            **(cert_q or {}),
+        }
+        log(f"certified tier: {cert_sps:.1f} solves/s "
+            f"(rescue {n_rescue}/{batch} lanes) "
+            f"q99 excess {cert_q['q99_cost_excess']:.1e} "
+            f"frac<1e-3 {cert_q['frac_within_1e3']:.4f}")
+
+    # ---- r3-compat row (VERDICT r4 #9): the round-3 operating point -------
+    # cap 50, no progress window — pins the quality-vs-throughput trade the
+    # r4 window bought, measured in THIS session (tunnel RTT swings 2x
+    # between sessions, so cross-round comparisons need a same-session row)
+    r3_row = None
+    if jax.default_backend() != "cpu":
+        r3_cfg = SolverConfig(horizon=50, max_iters=50, tol=1e-4, gtol=3e-4,
+                              ls_adaptive=True, ls_max_trips=4)
+        solve_r3 = jax.jit(make_batched_mpc_solver(params_q, weights, r3_cfg))
+        s3 = solve_r3(*rep_args[0])
+        np.asarray(s3.cost)  # compile
+        t3 = []
+        for a in rep_args:
+            t0 = time.time()
+            s3 = solve_r3(*a)
+            np.asarray(s3.cost)
+            t3.append(time.time() - t0)
+        s3 = solve_r3(*rep_args[0])
+        ex3 = (np.asarray(s3.cost) - Jg) / np.maximum(np.abs(Jg), 1e-6)
+        r3_row = {
+            "solves_per_sec_sync": round(batch / min(t3), 2),
+            "converged_frac": round(float(np.asarray(s3.converged).mean()), 4),
+            "frac_within_1pct": round(float((ex3 < 0.01).mean()), 4),
+            "max_iters": 50,
+            "no_progress_window": False,
+        }
+        log(f"r3-compat row: {r3_row['solves_per_sec_sync']:.1f} solves/s sync, "
+            f"conv {r3_row['converged_frac']:.3f}, "
+            f"frac<1% {r3_row['frac_within_1pct']:.3f}")
+
     baseline = 10.0  # IPOPT solves/s/core implied by the 10 Hz budget
     out = {
         "metric": "mpc_solves_per_sec_chip",
@@ -183,6 +271,8 @@ def main():
         "q99_cost_excess_vs_converged": float(np.percentile(excess, 99)),
         "frac_within_1pct_of_converged": round(float((excess < 0.01).mean()), 4),
         "frac_within_1e3_of_converged": round(float((excess < 1e-3).mean()), 4),
+        "certified_tier": certified,
+        "r3_compat": r3_row,
     }
     print(json.dumps(out))
 

@@ -557,7 +557,9 @@ def solve_lifted_oracle(
             u_hover = np.full(
                 NU, float(params.mass) * float(params.g) / NU
             ).clip(u_lb, u_ub)
-            best_cost, U_s = np.inf, None
+            # fall back to the reference's midpoint seed if every ladder
+            # attempt diverges (non-finite cost) — U_s must never stay unset
+            best_cost, U_s = np.inf, np.tile(u_mid, (H, 1))
             for u_start in (u_mid, u_hover):
                 U_c = np.tile(u_start, (H, 1))
                 cost_c = np.inf
@@ -570,7 +572,7 @@ def solve_lifted_oracle(
                         np.asarray(tra_ang), float(t),
                         U_init=U_c, maxiter=maxiter,
                     )
-                if cost_c < best_cost:
+                if np.isfinite(cost_c) and cost_c < best_cost:
                     best_cost, U_s = cost_c, U_c
             U_seed = jnp.asarray(np.clip(U_s, u_lb, u_ub), f64)
         else:

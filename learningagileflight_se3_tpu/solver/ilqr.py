@@ -86,6 +86,15 @@ class MPCSolution(NamedTuple):
     # (materializing an array here would initialize the backend before
     # user code can call jax.config.update).
     ls_evals: jnp.ndarray = 0
+    # exit reason per lane — `converged` is True for ANY terminal exit, and
+    # the quality ladder (bench.py rescue pass) needs to distinguish a true
+    # KKT certificate from the budget floors:
+    #   0 = hit the iteration cap (still descending)
+    #   1 = stationary (true KKT: decrement + projected gradient)
+    #   2 = stalled (failed search at high reg, near-optimal gradient)
+    #   3 = progress-window floor (no cost motion for a full window)
+    #   4 = regularization blowout
+    status: jnp.ndarray = 0
 
 
 class _Problem(NamedTuple):
@@ -386,11 +395,11 @@ def make_mpc_solver(
         KK0 = jnp.zeros((H, NU, NZ), dtype) + J0 * 0.0
 
         def cond(state):
-            Z, U, J, KK, reg, done, it, pg, ls0, n_np, J_chk, w_it = state
+            Z, U, J, KK, reg, done, it, pg, ls0, n_np, J_chk, w_it, st = state
             return (~done) & (it < cfg.max_iters)
 
         def body(state):
-            Z, U, J, KK, reg, done, it, _, ls0, n_np, J_chk, w_it = state
+            Z, U, J, KK, reg, done, it, _, ls0, n_np, J_chk, w_it, st = state
             derivs = derivatives(Z, U, prob)
             kk, KK_new, dV1, dV2, fail, pg = backward(derivs, U, reg)
 
@@ -493,11 +502,20 @@ def make_mpc_solver(
             # reset the window checkpoint whenever the window elapses
             J_chk_n = jnp.where(window_full & active, J_n, J_chk)
             w_n = jnp.where(window_full & active, 0, w_n)
+            blowout = ~improved & ~stationary & (reg > cfg.reg_max)
             done_n = done | (
-                active
-                & (stationary | stalled | floor_exit
-                   | (~improved & ~stationary & (reg > cfg.reg_max)))
+                active & (stationary | stalled | floor_exit | blowout)
             )
+            # exit taxonomy (MPCSolution.status codes); each reason below
+            # implies done_n, so writing under `active` is exact
+            st_n = st
+            st_n = jnp.where(active & stationary, 1, st_n)
+            st_n = jnp.where(active & ~stationary & stalled, 2, st_n)
+            st_n = jnp.where(
+                active & ~stationary & ~stalled & floor_exit, 3, st_n)
+            st_n = jnp.where(
+                active & ~stationary & ~stalled & ~floor_exit & blowout,
+                4, st_n)
             it_n = it + active.astype(it.dtype)
             if cfg.ls_adaptive:
                 ls_n = jnp.where(improved & active,
@@ -505,16 +523,17 @@ def make_mpc_solver(
             else:
                 ls_n = ls0
             return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg, ls_n, np_n,
-                    J_chk_n, w_n)
+                    J_chk_n, w_n, st_n)
 
         # shard_map-safe inits: derive from the (possibly axis-varying) J0
         reg0 = J0 * 0.0 + cfg.reg_init
         pg0 = J0 * 0.0 + jnp.inf
         done0 = J0 != J0  # False unless the initial rollout is already NaN
         it0 = (J0 * 0.0).astype(jnp.int32)
-        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0, it0, it0, J0, it0)
-        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, _, _, _, _) = jax.lax.while_loop(
-            cond, body, state0
+        state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0, it0, it0, J0, it0,
+                  it0)
+        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, _, _, _, _, stf) = (
+            jax.lax.while_loop(cond, body, state0)
         )
 
         sol = MPCSolution(
@@ -527,6 +546,7 @@ def make_mpc_solver(
             grad_norm=pgf,
             reg_final=regf,
             ls_evals=itf * 0,  # not tracked on this path; traced (vmap-safe)
+            status=stf,
         )
         return sol
 

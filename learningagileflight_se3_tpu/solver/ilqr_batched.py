@@ -225,11 +225,13 @@ def make_batched_mpc_solver_pallas(
         KK0 = jnp.zeros((H, B, NU, NZ), dtype)
 
         def cond(state):
-            Z, U, J, KK, reg, done, it, pg, ls_n, ls0, n_np, J_chk, w_it = state
+            (Z, U, J, KK, reg, done, it, pg, ls_n, ls0, n_np, J_chk, w_it,
+             st) = state
             return jnp.any((~done) & (it < max_iters))
 
         def body(state):
-            Z, U, J, KK, reg, done, it, _, ls_n, ls0, n_np, J_chk, w_it = state
+            (Z, U, J, KK, reg, done, it, _, ls_n, ls0, n_np, J_chk, w_it,
+             st) = state
             kk, KK_new, dV1, dV2, fail, pg = backward(
                 Z, U, t_w, goal, tra_pos, Hatt, att0, reg
             )
@@ -298,11 +300,20 @@ def make_batched_mpc_solver_pallas(
             floor_exit = window_full & ~window_progress & sane
             J_chk_n = jnp.where(window_full & active, J_n, J_chk)
             w_n = jnp.where(window_full & active, 0, w_n)
+            blowout = ~improved & ~stationary & (reg > cfg.reg_max)
             done_n = done | (
-                active
-                & (stationary | stalled | floor_exit
-                   | (~improved & ~stationary & (reg > cfg.reg_max)))
+                active & (stationary | stalled | floor_exit | blowout)
             )
+            # exit taxonomy (MPCSolution.status codes); each reason below
+            # implies done_n, so writing under `active` is exact
+            st_n = st
+            st_n = jnp.where(active & stationary, 1, st_n)
+            st_n = jnp.where(active & ~stationary & stalled, 2, st_n)
+            st_n = jnp.where(
+                active & ~stationary & ~stalled & floor_exit, 3, st_n)
+            st_n = jnp.where(
+                active & ~stationary & ~stalled & ~floor_exit & blowout,
+                4, st_n)
             it_n = it + active.astype(it.dtype)
             if cfg.ls_adaptive:
                 ls0_n = jnp.where(improved & active,
@@ -310,7 +321,7 @@ def make_batched_mpc_solver_pallas(
             else:
                 ls0_n = ls0
             return (Z_n, U_n, J_n, KK_n, reg_n, done_n, it_n, pg,
-                    ls_n + ls_trips, ls0_n, np_n, J_chk_n, w_n)
+                    ls_n + ls_trips, ls0_n, np_n, J_chk_n, w_n, st_n)
 
         reg0 = jnp.full((B,), cfg.reg_init, dtype)
         pg0 = jnp.full((B,), jnp.inf, dtype)
@@ -318,8 +329,9 @@ def make_batched_mpc_solver_pallas(
         it0 = jnp.zeros((B,), jnp.int32)
         state0 = (Z, U0, J0, KK0, reg0, done0, it0, pg0,
                   jnp.zeros((), jnp.int32), jnp.zeros((B,), jnp.int32),
-                  jnp.zeros((B,), jnp.int32), J0, jnp.zeros((B,), jnp.int32))
-        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, ls_f, _, _, _, _) = (
+                  jnp.zeros((B,), jnp.int32), J0, jnp.zeros((B,), jnp.int32),
+                  jnp.zeros((B,), jnp.int32))
+        (Zf, Uf, Jf, KKf, regf, donef, itf, pgf, ls_f, _, _, _, _, stf) = (
             jax.lax.while_loop(cond, body, state0)
         )
 
@@ -334,6 +346,7 @@ def make_batched_mpc_solver_pallas(
             grad_norm=pgf,
             reg_final=regf,
             ls_evals=ls_f,
+            status=stf,
         )
 
     return solve

@@ -297,3 +297,41 @@ class TestProgressWindowTermination:
         """no_progress_iters defaults to 0 (OFF): the f64 oracle-accuracy
         path keeps run-to-tolerance semantics."""
         assert SolverConfig().no_progress_iters == 0
+
+
+class TestExitStatus:
+    """MPCSolution.status: the per-lane exit taxonomy driving the bench's
+    certified-tier rescue pass — status 1 must be a TRUE KKT certificate
+    (stationary: decrement + projected gradient), and status/converged must
+    be mutually consistent."""
+
+    def test_status_consistent_with_converged(self, rng):
+        x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
+        B = 8
+        cfg = SolverConfig(horizon=20, max_iters=60, tol=1e-9, gtol=1e-7)
+        solve = jax.jit(make_batched_mpc_solver(PARAMS, WEIGHTS, cfg,
+                                                backend="xla"))
+        jit = np.tile
+        sol = solve(
+            jit(x0, (B, 1)) + 0.01 * rng.normal(size=(B, 13)),
+            jit(u_last, (B, 1)), jit(goal, (B, 1)), jit(tra_pos, (B, 1)),
+            jit(tra_ang, (B, 1)), np.full(B, t),
+        )
+        status = np.asarray(sol.status)
+        conv = np.asarray(sol.converged)
+        # every terminal exit (status != 0) must set converged and vice versa
+        np.testing.assert_array_equal(status != 0, conv)
+        # a KKT certificate means a genuinely small projected gradient
+        kkt = status == 1
+        assert kkt.any(), "no lane reached stationarity at f64 tolerances"
+        rel_pg = np.asarray(sol.grad_norm) / (np.abs(np.asarray(sol.cost)) + 1.0)
+        assert np.all(rel_pg[kkt] <= cfg.gtol * 1.01)
+
+    def test_cap_exit_is_status_zero(self):
+        x0, u_last, goal, tra_pos, tra_ang, t = canonical_scenario()
+        cfg = SolverConfig(horizon=20, max_iters=2, tol=1e-12, gtol=1e-12)
+        solve = jax.jit(make_mpc_solver(PARAMS, WEIGHTS, cfg))
+        sol = solve(jnp.asarray(x0), jnp.asarray(u_last), jnp.asarray(goal),
+                    jnp.asarray(tra_pos), jnp.asarray(tra_ang),
+                    jnp.asarray(t))
+        assert int(sol.status) == 0 and not bool(sol.converged)
