@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--teacher", default="runs/r4full_s1/nn_deep")
     ap.add_argument("--epochs", type=int, default=600)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=64,
+                    help="teacher scenarios per epoch (batch_scenarios)")
     ap.add_argument("--tag", default="r4imi600")
     args = ap.parse_args()
 
@@ -51,7 +53,7 @@ def main():
     t0 = time.time()
     model2, p2, losses = run_imitation_training(
         jax.random.PRNGKey(args.seed), p1_rl, epochs=args.epochs,
-        batch_scenarios=64, sgd_passes=10, lr=1e-3, lr_schedule=True,
+        batch_scenarios=args.batch, sgd_passes=10, lr=1e-3, lr_schedule=True,
         params_q=QuadParams(), weights=CostWeights(), solver_cfg=solver_cfg,
         sampler_cfg=SamplerConfig(), window_frame=True,
     )

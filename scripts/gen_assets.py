@@ -17,6 +17,9 @@ the trained model:
                             opening (gate_from_width geometry), floating base
   assets/window_frozen.urdf same, with a world-fixed joint (the reference's
                             "frozen" variant)
+  assets/quad.obj + .mtl    visual mesh of the plus-config vehicle
+  assets/window.obj + .mtl  visual mesh of the window frame
+                            (reference model/quad.obj, window.obj role)
 
 Usage: python scripts/gen_assets.py [--out assets] [--width 1.0] [--half-height 1.0]
 """
@@ -30,6 +33,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from learningagileflight_se3_tpu.config import QuadParams
+from learningagileflight_se3_tpu.utils.mesh import (
+    QUAD_MTL,
+    WINDOW_MTL,
+    quad_obj,
+    window_obj,
+)
 from learningagileflight_se3_tpu.utils.urdf import (  # noqa: F401 (re-export)
     KF,
     quad_urdf,
@@ -49,6 +58,11 @@ def main():
         "hb.urdf": quad_urdf(p),
         "window.urdf": window_urdf(args.width, args.half_height),
         "window_frozen.urdf": window_urdf(args.width, args.half_height, frozen=True),
+        # visual meshes (the reference's model/quad.obj + window.obj role)
+        "quad.obj": quad_obj(p),
+        "quad.mtl": QUAD_MTL,
+        "window.obj": window_obj(args.width, args.half_height),
+        "window.mtl": WINDOW_MTL,
     }
     for name, text in files.items():
         path = os.path.join(args.out, name)

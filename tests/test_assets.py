@@ -16,6 +16,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from learningagileflight_se3_tpu.config import QuadParams
+from learningagileflight_se3_tpu.utils.mesh import parse_obj, quad_obj, window_obj
 from scripts.gen_assets import quad_urdf, window_urdf
 
 
@@ -89,6 +90,37 @@ class TestWindowURDF:
         assert root.find("./joint[@name='anchor']") is None
 
 
+class TestVisualMeshes:
+    """Generated .obj visual meshes (reference model/quad.obj + window.obj
+    role): geometry must agree with the same config that drives the URDFs."""
+
+    def test_window_mesh_frames_opening(self):
+        w, hh, bar = 1.2, 0.5, 0.05
+        verts, faces = parse_obj(window_obj(w, hh, bar=bar))
+        v = np.asarray(verts)
+        assert len(faces) == 24  # 4 boxes x 6 faces
+        # outer envelope
+        assert np.allclose(v[:, 0].max(), w / 2 + bar)
+        assert np.allclose(v[:, 2].max(), hh + bar)
+        # the opening itself contains no geometry: no vertex strictly inside
+        inside = (np.abs(v[:, 0]) < w / 2 - 1e-9) & (np.abs(v[:, 2]) < hh - 1e-9)
+        assert not inside.any()
+        # face indices in range (1-based OBJ)
+        assert max(max(f) for f in faces) == len(verts)
+
+    def test_quad_mesh_rotors_match_mixer(self):
+        p = QuadParams()
+        arm = p.l / 2.0
+        verts, faces = parse_obj(quad_obj(p))
+        v = np.asarray(verts)
+        assert max(max(f) for f in faces) == len(verts)
+        # a rotor disc's vertex ring is centered on each mixer rotor position
+        for x, y in [(arm, 0), (0, arm), (-arm, 0), (0, -arm)]:
+            d = np.linalg.norm(v[:, :2] - np.array([x, y]), axis=1)
+            ring = np.isclose(d, 0.06, atol=1e-4)  # verts quantized to 1e-5
+            assert ring.sum() >= 16, f"no rotor ring at ({x}, {y})"
+
+
 def test_generator_cli(tmp_path):
     out = tmp_path / "assets"
     subprocess.run(
@@ -99,3 +131,5 @@ def test_generator_cli(tmp_path):
     for name in ("hb.urdf", "window.urdf", "window_frozen.urdf"):
         assert (out / name).exists()
         ET.parse(out / name)  # well-formed XML
+    for name in ("quad.obj", "quad.mtl", "window.obj", "window.mtl"):
+        assert (out / name).exists()
