@@ -35,7 +35,11 @@ def make_traversal_time_solver(model2, tol: float = 1e-3, max_iters: int = 100,
       * "secant" — secant iteration on g(t) = DNN2_t(t) - t: the SAME fixed
         point to the same tolerance in ~3-6 evaluations (superlinear), with
         a guarded fall-back to the averaging step when the secant
-        denominator degenerates and a clamp to t in [0, 20] s.  Use for the
+        denominator degenerates and a runaway clamp to t in [-20, 20] s
+        (symmetric: the reference's averaging iteration legitimately lands
+        on NEGATIVE fixed points once the gate is behind the vehicle —
+        main.py feeds them to the planner unfiltered — so the guard bounds
+        magnitude without truncating the reference's range).  Use for the
         deployed 10 Hz tick where each evaluation has real latency."""
 
     def predict_t(nn2_params, state, final_point, gate_pts, velo, t1, w):
@@ -81,8 +85,8 @@ def make_traversal_time_solver(model2, tol: float = 1e-3, max_iters: int = 100,
             denom = g1 - g0
             sec = t1 - g1 * (t1 - t0) / denom
             ok = jnp.isfinite(sec) & (jnp.abs(denom) > 1e-8)
-            fall = jnp.clip(t1 + g1 / 2.0, 0.0, 20.0)
-            cand = jnp.clip(jnp.where(ok, sec, fall), 0.0, 20.0)
+            fall = jnp.clip(t1 + g1 / 2.0, -20.0, 20.0)
+            cand = jnp.clip(jnp.where(ok, sec, fall), -20.0, 20.0)
             g_cand = g(cand)
             # GUARDED acceptance: an unguarded secant can cycle on a
             # non-contraction DNN2 response — keep the secant step only if
