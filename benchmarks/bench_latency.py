@@ -48,11 +48,15 @@ def main():
     cfg = SolverConfig(horizon=50, max_iters=5, tol=1e-4, gtol=3e-4)
     solve = jax.jit(make_batched_mpc_solver(params_q, weights, cfg))
 
-    # ONE scenario, replicated to an 8-wide tile: batch-1 arrays hit a
-    # pathological XLA layout on TPU (~4x slower than batch-8 for the same
+    # ONE scenario, replicated to the DEPLOYMENT tile: batch-1 arrays hit a
+    # pathological XLA layout on TPU (~4x slower for the same
     # sequential-depth-bound program), so the deployment path pads single
-    # queries to the tile and reads row 0
-    B = 8
+    # queries to a tile and reads row 0.  On TPU the tile is 128 — the
+    # fused-Pallas lane width ExternalSimController ships with (a 128-lane
+    # DDP iteration costs the same wall time as the xla tile-8 path costs
+    # per ~4 iterations); elsewhere a small tile avoids the batch-1 layout
+    # at low cost.
+    B = 128 if jax.default_backend() == "tpu" else 8
     scen = jnp.tile(sample_scenarios(jax.random.PRNGKey(3), 1), (B, 1)).astype(jnp.float32)
     prob = jax.vmap(scenario_to_problem)(scen)
     tra_ang = jnp.concatenate(
