@@ -6,9 +6,11 @@ the same H=50 problem (the role CasADi/IPOPT plays for the reference; this
 image has no casadi, so the oracle is oracle/lifted_nlp.py — the reference's
 lifted multiple-shooting formulation, quad_OC.py:125-174, solved to ~1e-11
 KKT residual by an independent L-BFGS-B -> interior-point -> Newton-crossover
-cascade).  BOTH solvers start cold from the reference's midpoint-controls
-init (quad_OC.py:142); nothing is warm-started from the solver under test,
-so this is a genuine independent-basin measurement (VERDICT r2 item 3).
+cascade).  BOTH solvers globalize cold from the SAME two problem-data
+starts — the reference's midpoint controls (quad_OC.py:142) and hover
+thrust — and keep their lower-cost KKT point; nothing is warm-started from
+the solver under test, so this is a genuine independent-basin measurement
+(VERDICT r2 item 3).
 
 Coverage (VERDICT r4 weak #4): four cells x n-per-cell scenarios =
   {MAIN, PYBULLET} variant weights (squared vs unsquared traversal attitude,
@@ -31,6 +33,23 @@ criterion instead: the DDP cost must be <= the oracle cost + 1e-9 relative
 the DDP point is strictly BETTER).  The headline MAE is over same-basin
 scenarios; ok requires same-basin MAE < 1e-3 AND every mismatch to pass
 the not-worse test AND >= 1 scenario with active bounds.
+
+Oracle per cell: squared-attitude cells (MAIN weights) are checked against
+the LIFTED interior-point oracle.  The PYBULLET fork's UNSQUARED traversal
+attitude term wqt*(3 - tr(R_g^T R)) is NEGATIVE for large |q| because the
+reference's quaternion is unnormalized (R entries scale with |q|^2), so
+its lifted NLP is UNBOUNDED BELOW off the dynamics manifold — measured:
+trust-constr rides the infeasible descent direction to cost -2e4 at
+constraint violation 1e0, and no interior-point/Newton polish certifies a
+KKT point there.  Shooting formulations eliminate X and are immune, so
+unsquared cells are checked against the independent homotopy-seeded
+SHOOTING oracle (globalized on the squared objective, continued to the
+real one — first-order methods alone stall 13x above the optimum on the
+unsquared plateau).  L-BFGS-B exits that plateau without a tight
+projected-gradient certificate, so the unsquared cells' CRITERION is cost
+dominance: the DDP point (KKT-certified by the solver's own stationarity
+test) must land at or below the independent globalization's best cost —
+measured 30-40% BELOW it.
 
 Runs on CPU with x64 (the accuracy surface).  Prints ONE JSON line:
   {"metric": "control_mae_vs_oracle", "value": <mean MAE over scenarios>,
@@ -68,12 +87,37 @@ def main():
     import jax.numpy as jnp
 
     from learningagileflight_se3_tpu.config import Variant, preset
+    from learningagileflight_se3_tpu.costs.gate_costs import total_trajectory_cost
+    from learningagileflight_se3_tpu.core.rotations import rodrigues_to_quat
+    from learningagileflight_se3_tpu.dynamics.quadrotor import rollout
     from learningagileflight_se3_tpu.models.sampler import (
         sample_scenarios,
         scenario_to_problem,
     )
     from learningagileflight_se3_tpu.oracle import solve_lifted_oracle
+    from learningagileflight_se3_tpu.oracle.shooting import solve_shooting_oracle
     from learningagileflight_se3_tpu.solver.ilqr import make_mpc_solver
+
+    def shooting_kkt_rel(params_q, weights, cfg, cell_args, U):
+        """Relative projected-gradient residual of the SHOOTING KKT system
+        at U (box [u_lb, u_ub]) — the certificate for unsquared-attitude
+        cells where the lifted NLP is unbounded off-manifold."""
+        x0, u_last, goal, tra_pos, tra_ang, t = [
+            jnp.asarray(a, jnp.float64) for a in cell_args]
+        tq = rodrigues_to_quat(tra_ang)
+
+        def obj(Uv):
+            X = rollout(x0, Uv, cfg.dt, params_q)
+            return total_trajectory_cost(
+                X, Uv, u_last, cfg.dt, float(t), goal, tra_pos, tq, weights)
+
+        J, g = jax.value_and_grad(obj)(jnp.asarray(U, jnp.float64))
+        g = np.asarray(g)
+        at_lb = np.asarray(U) <= cfg.u_lb + 1e-9
+        at_ub = np.asarray(U) >= cfg.u_ub - 1e-9
+        g = np.where(at_lb & (g > 0), 0.0, g)
+        g = np.where(at_ub & (g < 0), 0.0, g)
+        return float(np.max(np.abs(g)) / (abs(float(J)) + 1.0))
 
     rows = []
     for variant in (Variant.MAIN, Variant.PYBULLET):
@@ -85,6 +129,8 @@ def main():
             base_cfg, horizon=50, max_iters=300, w_bound=float("inf")
         )
         solve = jax.jit(make_mpc_solver(params_q, weights, cfg))
+        U_hover = jnp.full(
+            (cfg.horizon, 4), float(params_q.mass) * float(params_q.g) / 4.0)
         scen = np.asarray(sample_scenarios(
             jax.random.PRNGKey(7), args.n_per_cell, sampler_cfg))
         for regime in ("nominal", "aggressive"):
@@ -99,67 +145,110 @@ def main():
                     prob["x0"], jnp.zeros(4), prob["goal_pos"],
                     jnp.zeros(3), tra_ang, jnp.asarray(t),
                 )
-                sol = solve(*cell_args)  # cold: U_init=None -> midpoint
-                lifted = solve_lifted_oracle(
-                    params_q, weights, cfg,
-                    *[np.asarray(a) for a in cell_args],
-                    maxiter=8000,
-                )
-                U_star = lifted.control_traj
+                # cold 2-start globalization, mirroring the oracle's own
+                # (midpoint, hover) problem-data starts: take the lower-cost
+                # KKT point.  On aggressive cells the two cold basins can
+                # differ by ~1% either way; both solvers get the same starts
+                sol_m = solve(*cell_args)
+                sol_h = solve(*cell_args, U_init=U_hover)
+                sol = (sol_m if float(sol_m.cost) <= float(sol_h.cost)
+                       else sol_h)
+                np_args = [np.asarray(a) for a in cell_args]
+                if weights.squared_attitude:
+                    lifted = solve_lifted_oracle(
+                        params_q, weights, cfg, *np_args, maxiter=8000)
+                    U_star, cost_star = lifted.control_traj, lifted.cost
+                    kkt = lifted.kkt_residual
+                    oracle_kind = "lifted"
+                    kkt_gate = 1e-6
+                else:
+                    # homotopy-seeded shooting oracle (docstring: the
+                    # unsquared lifted NLP is unbounded off-manifold)
+                    w_sq = dataclasses.replace(weights, squared_attitude=True)
+                    _, U_h, _, _ = solve_shooting_oracle(
+                        params_q, w_sq, cfg, *np_args, maxiter=8000)
+                    _, U_star, cost_star, _ = solve_shooting_oracle(
+                        params_q, weights, cfg, *np_args, U_init=U_h,
+                        maxiter=8000)
+                    U_star = np.clip(U_star, cfg.u_lb, cfg.u_ub)
+                    # diagnostic only: on the unsquared plateau L-BFGS-B
+                    # regularly exits with a large projected gradient, so
+                    # the row's CRITERION is cost dominance (DDP at or
+                    # below the independent globalization), not oracle KKT
+                    kkt = shooting_kkt_rel(
+                        params_q, weights, cfg, cell_args, U_star)
+                    oracle_kind = "shooting+homotopy"
+                    kkt_gate = float("inf")
                 tol_b = 1e-7
                 n_active = int(np.sum(
                     (np.abs(U_star - cfg.u_lb) < tol_b)
                     | (np.abs(U_star - cfg.u_ub) < tol_b)))
                 mae = float(np.mean(np.abs(np.asarray(sol.control_traj)
                                            - U_star)))
-                gap = (float(sol.cost) - lifted.cost) / abs(lifted.cost)
+                gap = (float(sol.cost) - cost_star) / abs(cost_star)
                 rows.append({
                     "variant": variant.value,
                     "regime": regime,
                     "mae": mae,
                     "rel_cost_gap": gap,
-                    "kkt": lifted.kkt_residual,
+                    "kkt": kkt,
+                    "kkt_gate": kkt_gate,
+                    "oracle": oracle_kind,
                     "n_active_bounds": n_active,
                 })
                 log(f"[{variant.value}/{regime}] scenario {i}: "
                     f"MAE {mae:.2e}  rel cost gap {gap:+.2e}  "
-                    f"oracle kkt {lifted.kkt_residual:.1e}  "
+                    f"oracle[{oracle_kind}] kkt {kkt:.1e}  "
                     f"active bounds {n_active}/200  "
                     f"converged {bool(sol.converged)}")
 
-    # rows whose ORACLE did not reach a KKT point prove nothing about the
-    # solver under test — exclude them from the stats and surface the count
-    unconv = [r for r in rows if r["kkt"] > 1e-6]
-    rows_c = [r for r in rows if r["kkt"] <= 1e-6]
-    # basin split: a large MAE with a KKT-clean oracle means the two
-    # independent solvers found DIFFERENT stationary points; the gate for
-    # those is cost dominance, not control distance
+    # rows whose ORACLE did not reach its certificate prove nothing about
+    # the solver under test — exclude them and surface the count
+    unconv = [r for r in rows if r["kkt"] > r["kkt_gate"]]
+    rows_c = [r for r in rows if r["kkt"] <= r["kkt_gate"]]
+    lifted_rows = [r for r in rows_c if r["oracle"] == "lifted"]
+    shoot_rows = [r for r in rows_c if r["oracle"] != "lifted"]
+    # basin split (lifted cells — the tight-MAE claim): a large MAE with a
+    # KKT-clean oracle means the two independent solvers found DIFFERENT
+    # stationary points; the gate for those is cost dominance
     MAE_BASIN = 1e-4
-    same = [r for r in rows_c if r["mae"] < MAE_BASIN]
-    mism = [r for r in rows_c if r["mae"] >= MAE_BASIN]
+    same = [r for r in lifted_rows if r["mae"] < MAE_BASIN]
+    mism = [r for r in lifted_rows if r["mae"] >= MAE_BASIN]
     maes = np.array([r["mae"] for r in same])
-    kkts = np.array([r["kkt"] for r in rows])
     actives = np.array([r["n_active_bounds"] for r in rows])
     mism_ok = all(r["rel_cost_gap"] <= 1e-9 for r in mism)
+    # shooting-homotopy cells (unsquared attitude): the oracle is a
+    # first-order method, so the gate is cost dominance at its resolution —
+    # DDP must land at or below the oracle's certified point
+    shoot_ok = all(r["rel_cost_gap"] <= 1e-4 for r in shoot_rows)
     by_cell = {}
     for variant in ("main", "pybullet"):
         for regime in ("nominal", "aggressive"):
             cell = [r for r in rows_c
                     if r["variant"] == variant and r["regime"] == regime]
+            if not cell:
+                by_cell[f"{variant}/{regime}"] = None
+                continue
             cs = [r for r in cell if r["mae"] < MAE_BASIN]
             by_cell[f"{variant}/{regime}"] = {
+                "oracle": cell[0]["oracle"],
                 "mean_mae_same_basin": (
                     float(np.mean([r["mae"] for r in cs])) if cs else None),
                 "max_mae_same_basin": (
                     float(np.max([r["mae"] for r in cs])) if cs else None),
                 "n_basin_mismatch": len(cell) - len(cs),
+                "n_ddp_at_or_below_oracle": int(sum(
+                    r["rel_cost_gap"] <= 1e-9 for r in cell)),
+                "max_rel_cost_gap": float(np.max(
+                    [r["rel_cost_gap"] for r in cell])),
                 "mean_active_bounds": round(
                     float(np.mean([r["n_active_bounds"] for r in cell])), 1),
             }
 
     value = float(np.mean(maes))
     ok = (value < 1e-3 and float(np.max(maes)) < 1e-3 and mism_ok
-          and int(np.sum(actives > 0)) >= 1)
+          and shoot_ok and int(np.sum(actives > 0)) >= 1
+          and len(unconv) == 0)
     out = {
         "metric": "control_mae_vs_oracle",
         "value": value,
@@ -169,16 +258,21 @@ def main():
         "mae_median": float(np.median(maes)),
         "mae_p90": float(np.percentile(maes, 90)),
         "max_mae": float(np.max(maes)),
+        "n_lifted_cells": len(lifted_rows),
+        "n_shooting_cells": len(shoot_rows),
         "n_same_basin": len(same),
         "n_basin_mismatch": len(mism),
         "n_oracle_unconverged": len(unconv),
         "basin_mismatch_ddp_never_worse": bool(mism_ok),
         "basin_mismatch_rel_cost_gaps": [
             round(r["rel_cost_gap"], 12) for r in mism],
+        "shooting_cells_ddp_at_or_below_oracle": bool(shoot_ok),
+        "shooting_cells_mean_rel_cost_gap": (
+            float(np.mean([r["rel_cost_gap"] for r in shoot_rows]))
+            if shoot_rows else None),
         "max_rel_cost_gap_same_basin": (
             float(np.max(np.abs([r["rel_cost_gap"] for r in same])))
             if same else None),
-        "max_oracle_kkt": float(np.max(kkts)),
         "n_scenarios_with_active_bounds": int(np.sum(actives > 0)),
         "mean_active_bounds_nominal": round(float(np.mean(
             [r["n_active_bounds"] for r in rows
@@ -188,7 +282,9 @@ def main():
              if r["regime"] == "aggressive"])), 1),
         "cells": by_cell,
         "cold_start": True,
-        "oracle": "lifted_nlp cascade (shooting -> ipm -> newton crossover)",
+        "oracle": ("lifted_nlp cascade (squared-attitude cells) + "
+                   "homotopy-seeded shooting oracle (unsquared cells; the "
+                   "unsquared lifted NLP is unbounded off-manifold)"),
         "n_scenarios": len(rows),
         "horizon": 50,
     }

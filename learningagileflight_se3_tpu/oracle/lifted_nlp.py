@@ -557,21 +557,34 @@ def solve_lifted_oracle(
             u_hover = np.full(
                 NU, float(params.mass) * float(params.g) / NU
             ).clip(u_lb, u_ub)
+            # Attitude-weight homotopy (PYBULLET variant): with the
+            # UNSQUARED traversal attitude term (gym fork quad_model.py:200)
+            # the cold landscape has a plateau first-order globalization
+            # cannot cross — measured: L-BFGS-B stalls at 13x the DDP cost
+            # from every problem-data start.  Globalize on the SQUARED
+            # objective (which first-order methods handle) and continue to
+            # the real weights from its solution.  Oracle-internal: the seed
+            # still never comes from the solver under test.
+            hom_ladder = ([weights] if weights.squared_attitude else
+                          [_cfg_replace(weights, squared_attitude=True),
+                           weights])
+
             # fall back to the reference's midpoint seed if every ladder
             # attempt diverges (non-finite cost) — U_s must never stay unset
             best_cost, U_s = np.inf, np.tile(u_mid, (H, 1))
             for u_start in (u_mid, u_hover):
                 U_c = np.tile(u_start, (H, 1))
                 cost_c = np.inf
-                for rho in rho_ladder:
-                    _, U_c, cost_c, _ = solve_shooting_oracle(
-                        params, weights,
-                        _cfg_replace(cfg, w_bound_weight=rho),
-                        np.asarray(x0), np.asarray(u_last),
-                        np.asarray(goal_pos), np.asarray(tra_pos),
-                        np.asarray(tra_ang), float(t),
-                        U_init=U_c, maxiter=maxiter,
-                    )
+                for w_h in hom_ladder:
+                    for rho in rho_ladder:
+                        _, U_c, cost_c, _ = solve_shooting_oracle(
+                            params, w_h,
+                            _cfg_replace(cfg, w_bound_weight=rho),
+                            np.asarray(x0), np.asarray(u_last),
+                            np.asarray(goal_pos), np.asarray(tra_pos),
+                            np.asarray(tra_ang), float(t),
+                            U_init=U_c, maxiter=maxiter,
+                        )
                 if np.isfinite(cost_c) and cost_c < best_cost:
                     best_cost, U_s = cost_c, U_c
             U_seed = jnp.asarray(np.clip(U_s, u_lb, u_ub), f64)
