@@ -217,10 +217,12 @@ def main():
             "rescue_tile": RES,
             **(cert_q or {}),
         }
+        # cert_q stays None when rep 0 needed no rescue (all lanes KKT)
+        q99_s = (f"q99 excess {cert_q['q99_cost_excess']:.1e} "
+                 f"frac<1e-3 {cert_q['frac_within_1e3']:.4f}"
+                 if cert_q else "rep 0 fully KKT - no rescue quality row")
         log(f"certified tier: {cert_sps:.1f} solves/s "
-            f"(rescue {n_rescue}/{batch} lanes) "
-            f"q99 excess {cert_q['q99_cost_excess']:.1e} "
-            f"frac<1e-3 {cert_q['frac_within_1e3']:.4f}")
+            f"(rescue {n_rescue}/{batch} lanes) " + q99_s)
 
     # ---- r3-compat row (VERDICT r4 #9): the round-3 operating point -------
     # cap 50, no progress window — pins the quality-vs-throughput trade the

@@ -199,18 +199,20 @@ def main():
                     float(np.mean([r["n_active_bounds"] for r in cell])), 1),
             }
 
-    value = float(np.mean(maes))
-    ok = (value < 1e-3 and float(np.max(maes)) < 1e-3 and mism_ok
-          and int(np.sum(actives > 0)) >= 1 and unconv_ok)
+    # `same` can be empty in pathological runs (every row a mismatch or an
+    # unconverged oracle); the JSON must still be emitted with ok=false
+    value = float(np.mean(maes)) if maes.size else float("nan")
+    ok = (maes.size > 0 and value < 1e-3 and float(np.max(maes)) < 1e-3
+          and mism_ok and int(np.sum(actives > 0)) >= 1 and unconv_ok)
     out = {
         "metric": "control_mae_vs_oracle",
         "value": value,
         "unit": "N",
         "vs_baseline": round(1e-3 / value, 2) if value > 0 else float("inf"),
         "ok": bool(ok),
-        "mae_median": float(np.median(maes)),
-        "mae_p90": float(np.percentile(maes, 90)),
-        "max_mae": float(np.max(maes)),
+        "mae_median": float(np.median(maes)) if maes.size else None,
+        "mae_p90": float(np.percentile(maes, 90)) if maes.size else None,
+        "max_mae": float(np.max(maes)) if maes.size else None,
         "n_same_basin": len(same),
         "n_basin_mismatch": len(mism),
         "n_oracle_unconverged": len(unconv),

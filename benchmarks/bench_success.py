@@ -187,8 +187,10 @@ def main():
             # mechanism taxonomy, most specific first
             if bool(diverged[i]):
                 mech = "diverged"
-            elif tt.max() > 15.0:
-                mech = "tsolver_runaway"  # fixed point escaped to the clamp
+            elif np.abs(tt).max() > 15.0:
+                mech = "tsolver_runaway"  # fixed point escaped toward the
+                                          # clamp (either sign: the secant
+                                          # range is symmetric [-20, 20])
             elif not bool(ok[i]):
                 mech = "missed_gate"
             elif float(d.min()) < 2.0 and float(goal_speed[i]) < 0.0:

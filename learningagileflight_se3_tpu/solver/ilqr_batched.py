@@ -237,12 +237,18 @@ def make_batched_mpc_solver_pallas(
             )
 
             decrement = -(dV1 + dV2)
+            # `sane` guards every |J|-relative tolerance: at an exploded
+            # rollout cost (1e69) the gates are trivially satisfied and a
+            # garbage iterate would earn the status-1 KKT certificate the
+            # certified tier trusts (same guard as ilqr.py)
+            sane = jnp.isfinite(J) & (jnp.abs(J) < 1e12)
             grad_small = pg <= cfg.gtol * (jnp.abs(J) + 1.0)
             stationary = (
                 (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
                 & (dV1 <= 0)
                 & grad_small
                 & ~fail
+                & sane
             )
 
             active = ~done & (it < max_iters)
@@ -283,11 +289,8 @@ def make_batched_mpc_solver_pallas(
                 & (decrement <= cfg.tol * (jnp.abs(J) + 1.0))
                 & (reg >= 64.0)
                 & grad_smallish
+                & sane
             )
-            # no-progress floor — identical semantics to ilqr.py (see the
-            # cfg.no_progress_iters comment there): consecutive iterations
-            # without a meaningful decrease terminate the lane.
-            sane = jnp.isfinite(J) & (jnp.abs(J) < 1e12)
             # progress-window floor (see ilqr.py for the full rationale):
             # terminate when an entire W-iteration window made < tol
             # cumulative progress — the only cut that proved quality-safe
@@ -340,7 +343,7 @@ def make_batched_mpc_solver_pallas(
             control_traj=jnp.moveaxis(Uf, 0, 1),            # (B,H,4)
             cost=Jf,
             iterations=itf,
-            converged=donef,
+            converged=donef & jnp.isfinite(Jf) & (jnp.abs(Jf) < 1e12),
             gains_K=jnp.moveaxis(KKf, 0, 1) if return_gains
             else jnp.zeros((0,), dtype),
             grad_norm=pgf,

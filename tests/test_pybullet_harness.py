@@ -147,11 +147,14 @@ class TestPyBulletLive:
         # the vehicle must actually fly (thrust beats gravity drop): after
         # 2 s of ballistic free-fall it would have fallen ~19.6 m
         assert res["states"][-1, 2] > res["states"][0, 2] - 5.0
-        # the gate is a PHYSICAL Bullet body: a clean traversal (positive
-        # analytic margin) must also be contact-free by the ENGINE's own
-        # collision detection (VERDICT r4 missing #1)
+        # the gate is a PHYSICAL Bullet body: a clean traversal must also be
+        # contact-free by the ENGINE's own collision detection (VERDICT r4
+        # missing #1).  The analytic margin measures the quad CENTER's
+        # clearance while the hb.urdf collision shape is a sphere of radius
+        # l/2, so "clean" for the engine means margin > that radius (a
+        # center passing 0.1 m from the frame still physically overlaps it)
         assert res["physical_gate"]
-        if res["through_gate"] and res["gate_margin"] > 0:
+        if res["through_gate"] and res["gate_margin"] > QuadParams().l / 2:
             assert res["n_contact_steps"] == 0, (
                 f"engine contact on a clean traversal: {res['contacts'][:5]}")
 
