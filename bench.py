@@ -182,34 +182,44 @@ def main():
         idx0 = np.resize(np.where(status0 != 1)[0], RES)
         sol_r = solve_golden(*[np.asarray(a)[idx0] for a in rep_args[0]])
         np.asarray(sol_r.cost)
-        cert_times, cert_q = [], None
+        # PIPELINED certified timing: all fast passes are dispatched
+        # up-front, so rescue(i) (host gather + golden re-solve) overlaps
+        # the still-running fast pass of rep i+1 — the training-regime
+        # schedule, same as the fast tier's pipelined mode.
+        cert_q = None
+        t0 = time.time()
+        mains = [solve(*a) for a in rep_args]
+        rescues = []
         for i, a in enumerate(rep_args):
-            t0 = time.time()
-            s_main = solve(*a)
+            s_main = mains[i]
             st = np.asarray(s_main.status)
             Jm = np.asarray(s_main.cost)
             idx = np.where(st != 1)[0]
             if len(idx) == 0:
-                cert_times.append(time.time() - t0)
+                rescues.append((None, None, Jm))
                 continue
             if len(idx) > RES:  # keep the tile static: most-suspicious first
                 rel_pg = np.asarray(s_main.grad_norm) / (np.abs(Jm) + 1.0)
                 idx = idx[np.argsort(-rel_pg[idx])[:RES]]
             pad = np.resize(idx, RES)
             s_r = solve_golden(*[np.asarray(x)[pad] for x in a])
-            Jr = np.asarray(s_r.cost)
+            rescues.append((idx, s_r, Jm))
+        J_certs = []
+        for idx, s_r, Jm in rescues:
             J_cert = Jm.copy()
-            J_cert[idx] = np.minimum(Jm[idx], Jr[: len(idx)])
-            cert_times.append(time.time() - t0)
-            if i == 0:
-                ex_c = (J_cert - Jg) / np.maximum(np.abs(Jg), 1e-6)
-                cert_q = {
-                    "q90_cost_excess": float(np.percentile(ex_c, 90)),
-                    "q99_cost_excess": float(np.percentile(ex_c, 99)),
-                    "frac_within_1pct": float((ex_c < 0.01).mean()),
-                    "frac_within_1e3": float((ex_c < 1e-3).mean()),
-                }
-        cert_sps = batch / min(cert_times)
+            if idx is not None:
+                Jr = np.asarray(s_r.cost)
+                J_cert[idx] = np.minimum(Jm[idx], Jr[: len(idx)])
+            J_certs.append(J_cert)
+        cert_elapsed = time.time() - t0
+        ex_c = (J_certs[0] - Jg) / np.maximum(np.abs(Jg), 1e-6)
+        cert_q = {
+            "q90_cost_excess": float(np.percentile(ex_c, 90)),
+            "q99_cost_excess": float(np.percentile(ex_c, 99)),
+            "frac_within_1pct": float((ex_c < 0.01).mean()),
+            "frac_within_1e3": float((ex_c < 1e-3).mean()),
+        }
+        cert_sps = len(rep_args) * batch / cert_elapsed
         certified = {
             "solves_per_sec": round(cert_sps, 2),
             "vs_baseline": round(cert_sps / 10.0, 2),
